@@ -1,0 +1,167 @@
+"""EAGLE draft network: hidden = decoder_layer(fc(concat(embed(tok), h))).
+
+Reference: eagle/cnets.py `Model.__init__`/`forward` (:476-674). Structure:
+frozen base embeddings, `fc: 2H -> H` fusion, a single LLaMA decoder layer
+whose *input layernorm is skipped* (cnets layer index 0 drops it), and the
+base model's lm_head applied to the raw layer output (no final norm).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowspec_tpu.config import ModelConfig
+from flowspec_tpu.models.kv_cache import KVCache
+from flowspec_tpu.models.llama import attention, rms_norm, rope
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EagleParams:
+    embed: jax.Array      # (V, H) — tied to base model (frozen, cnets:519)
+    fc_w: jax.Array       # (2H, H)
+    fc_b: jax.Array       # (H,)
+    wq: jax.Array         # (H, nq*D)
+    wk: jax.Array
+    wv: jax.Array
+    wo: jax.Array
+    w_gate: jax.Array
+    w_up: jax.Array
+    w_down: jax.Array
+    post_ln: jax.Array    # (H,) — input_ln intentionally absent
+
+
+def eagle_layer(x: jax.Array, p: EagleParams, k_cache, v_cache,
+                positions: jax.Array, bias: jax.Array, write_start,
+                cfg: ModelConfig):
+    """x (B, T, H) already fc-fused. No input RMSNorm (cnets LlamaDecoderLayer
+    index 0 skips it, eagle/cnets.py:417-421)."""
+    b, t, _ = x.shape
+    d = cfg.head_dim_
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+
+    res = x
+    q = (x @ p.wq).reshape(b, t, nq, d).transpose(0, 2, 1, 3)
+    k = (x @ p.wk).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
+    v = (x @ p.wv).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k.astype(k_cache.dtype), (0, 0, write_start, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v.astype(v_cache.dtype), (0, 0, write_start, 0))
+
+    attn = attention(q, k_cache, v_cache, bias, nq // nkv)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
+    x = res + attn @ p.wo
+
+    res = x
+    x = rms_norm(x, p.post_ln, cfg.rms_norm_eps)
+    x = res + (jax.nn.silu(x @ p.w_gate) * (x @ p.w_up)) @ p.w_down
+    return x, k_cache, v_cache
+
+
+def fuse(p: EagleParams, tokens: jax.Array, hidden: jax.Array) -> jax.Array:
+    """fc(concat(embed(tokens), hidden)) — eagle/cnets.py:615."""
+    emb = p.embed[jnp.clip(tokens, 0, p.embed.shape[0] - 1)]
+    x = jnp.concatenate([emb.astype(hidden.dtype), hidden], axis=-1)
+    return x @ p.fc_w + p.fc_b
+
+
+def draft_context_forward(p: EagleParams, cache: KVCache, tokens: jax.Array,
+                          hidden: jax.Array, start: jax.Array, n_valid,
+                          cfg: ModelConfig):
+    """Advance the draft KV over context pairs (token_{i+1}, base_hidden_i).
+
+    tokens (T,), hidden (1, T, H) padded to static T; pairs [0, n_valid) are
+    real. Returns (out_hidden (1, T, H), cache with beam-region length reset
+    to start + n_valid — the reference's `stable_kv`, eagle/cnets.py:737-744).
+    """
+    t = tokens.shape[0]
+    x = fuse(p, tokens[None], hidden)
+    positions = start + jnp.arange(t, dtype=jnp.int32)
+    i = jnp.arange(t, dtype=jnp.int32)[:, None]
+    j = jnp.arange(cache.max_len, dtype=jnp.int32)[None, :]
+    bias = jnp.where(j <= start + i, 0.0, -1e9).astype(jnp.float32)
+    out, k, v = eagle_layer(x, p, cache.k[0], cache.v[0], positions, bias,
+                            start, cfg)
+    new_cache = KVCache(k=k[None], v=v[None],
+                        length=(start + n_valid).astype(jnp.int32))
+    return out, new_cache
+
+
+def init_eagle_params(key: jax.Array, cfg: ModelConfig,
+                      embed: jax.Array | None = None,
+                      dtype=None) -> EagleParams:
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    d = cfg.head_dim_
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    ks = jax.random.split(key, 10)
+
+    def init(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32)
+                * shape[0] ** -0.5).astype(dtype)
+
+    return EagleParams(
+        embed=embed if embed is not None else (
+            jax.random.normal(ks[0], (v, h), jnp.float32) * 0.02
+        ).astype(dtype),
+        fc_w=init(ks[1], (2 * h, h)),
+        fc_b=jnp.zeros((h,), dtype),
+        wq=init(ks[2], (h, nq * d)),
+        wk=init(ks[3], (h, nkv * d)),
+        wv=init(ks[4], (h, nkv * d)),
+        wo=init(ks[5], (nq * d, h)),
+        w_gate=init(ks[6], (h, i)),
+        w_up=init(ks[7], (h, i)),
+        w_down=init(ks[8], (i, h)),
+        post_ln=jnp.ones((h,), dtype),
+    )
+
+
+def load_eagle_params(draft_dir: str, embed: jax.Array,
+                      dtype=jnp.bfloat16) -> EagleParams:
+    """Load an EAGLE head checkpoint (HF layout used by the reference:
+    fc.*, layers.0.*; embeddings come from the base model)."""
+    import os
+    from safetensors import safe_open
+
+    files = [f for f in os.listdir(draft_dir) if f.endswith(".safetensors")]
+    tensors = {}
+    for f in files:
+        with safe_open(os.path.join(draft_dir, f), framework="np") as h:
+            for name in h.keys():
+                tensors[name] = h.get_tensor(name)
+    if not tensors:
+        import torch
+        bins = [f for f in os.listdir(draft_dir) if f.endswith(".bin")]
+        for f in bins:
+            sd = torch.load(os.path.join(draft_dir, f), map_location="cpu")
+            tensors.update({k: v.float().numpy() for k, v in sd.items()})
+
+    def g(name):
+        return jnp.asarray(np.asarray(tensors[name]).T.astype(dtype))
+
+    pre = "layers.0."
+    return EagleParams(
+        embed=embed,
+        fc_w=g("fc.weight"),
+        fc_b=jnp.asarray(np.asarray(tensors["fc.bias"]).astype(dtype))
+        if "fc.bias" in tensors else jnp.zeros(
+            (np.asarray(tensors["fc.weight"]).shape[0],), dtype),
+        wq=g(pre + "self_attn.q_proj.weight"),
+        wk=g(pre + "self_attn.k_proj.weight"),
+        wv=g(pre + "self_attn.v_proj.weight"),
+        wo=g(pre + "self_attn.o_proj.weight"),
+        w_gate=g(pre + "mlp.gate_proj.weight"),
+        w_up=g(pre + "mlp.up_proj.weight"),
+        w_down=g(pre + "mlp.down_proj.weight"),
+        post_ln=jnp.asarray(np.asarray(
+            tensors[pre + "post_attention_layernorm.weight"]).astype(dtype)),
+    )

@@ -1,0 +1,195 @@
+"""LLaMA-family transformer as pure functions over stacked-layer params.
+
+Covers the reference's LLaMA forks (eagle/modeling_llama_kv.py,
+model/stage_modeling_llama.py) and the Qwen2 variant (which differs only by
+qkv bias=True, eagle/modeling_qwen2_kv.py:482-488 — here just a config flag).
+
+Design: all decoder layers are stored stacked along a leading layer axis and
+executed with `lax.scan`, so XLA compiles one layer body and pipeline stages
+shard the layer axis of the same pytree. Attention is mask-agnostic — a
+single additive (T, S) bias (see models/bias.py) carries causal/tree
+structure. GQA via head repetition. RMSNorm + rotary match HF semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from flowspec_tpu.config import ModelConfig
+from flowspec_tpu.models.kv_cache import KVCache
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LlamaLayerParams:
+    """All arrays have a leading (num_layers,) axis."""
+    wq: jax.Array        # (L, H, nq*D)
+    wk: jax.Array        # (L, H, nkv*D)
+    wv: jax.Array        # (L, H, nkv*D)
+    wo: jax.Array        # (L, nq*D, H)
+    bq: jax.Array        # (L, nq*D) — zeros unless attention_bias (qwen2)
+    bk: jax.Array
+    bv: jax.Array
+    w_gate: jax.Array    # (L, H, I)
+    w_up: jax.Array      # (L, H, I)
+    w_down: jax.Array    # (L, I, H)
+    input_ln: jax.Array  # (L, H)
+    post_ln: jax.Array   # (L, H)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LlamaParams:
+    embed: jax.Array          # (V, H)
+    layers: LlamaLayerParams
+    final_norm: jax.Array     # (H,)
+    lm_head: jax.Array        # (H, V)
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return (x * w.astype(jnp.float32)).astype(dt)
+
+
+def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """HF-style rotary: x (B, H, T, D), positions (T,) int32."""
+    d = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, d, 2, jnp.float32) / d))
+    ang = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # (T, D/2)
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    cos = jnp.concatenate([cos, cos], axis=-1)[None, None]            # (1,1,T,D)
+    sin = jnp.concatenate([sin, sin], axis=-1)[None, None]
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos +
+            rotated.astype(jnp.float32) * sin).astype(x.dtype)
+
+
+def attention(q, k_all, v_all, bias, n_rep: int):
+    """q (B, nq, T, D); k_all/v_all (B, nkv, S, D); bias (T, S) additive."""
+    if n_rep > 1:
+        k_all = jnp.repeat(k_all, n_rep, axis=1)
+        v_all = jnp.repeat(v_all, n_rep, axis=1)
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k_all,
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores + bias[None, None].astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, v_all,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def decoder_layer(x, lp, k_cache, v_cache, positions, bias, write_start,
+                  cfg: ModelConfig):
+    """One decoder layer. x (B, T, H); k/v_cache (B, nkv, S, D) for this
+    layer; returns (x_out, k_cache', v_cache')."""
+    b, t, h = x.shape
+    d = cfg.head_dim_
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+
+    res = x
+    x = rms_norm(x, lp.input_ln, cfg.rms_norm_eps)
+    q = (x @ lp.wq + lp.bq).reshape(b, t, nq, d).transpose(0, 2, 1, 3)
+    k = (x @ lp.wk + lp.bk).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
+    v = (x @ lp.wv + lp.bv).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
+                                           (0, 0, write_start, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
+                                           (0, 0, write_start, 0))
+
+    attn = attention(q, k_cache, v_cache, bias, nq // nkv)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
+    x = res + attn @ lp.wo
+
+    res = x
+    x = rms_norm(x, lp.post_ln, cfg.rms_norm_eps)
+    x = res + (jax.nn.silu(x @ lp.w_gate) * (x @ lp.w_up)) @ lp.w_down
+    return x, k_cache, v_cache
+
+
+def llama_forward(params: LlamaParams, cache: KVCache, hidden: jax.Array,
+                  positions: jax.Array, bias: jax.Array,
+                  write_start: jax.Array, cfg: ModelConfig,
+                  layer_offset: int = 0):
+    """Run the stacked decoder layers over a (B, T, H) chunk.
+
+    `hidden` is post-embedding (callers embed / receive activations — mirrors
+    the reference stage model accepting input_ids or inputs_embeds,
+    model/stage_modeling_llama.py:344-420). Returns (hidden, cache') where
+    hidden is **not** final-normed (stages pass raw activations; only the
+    last stage applies final_norm via `final_hidden`).
+    """
+    del layer_offset
+
+    def body(carry, xs):
+        x = carry
+        lp, kc, vc = xs
+        x, kc, vc = decoder_layer(x, lp, kc, vc, positions, bias,
+                                  write_start, cfg)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, hidden, (params.layers, cache.k, cache.v))
+    return x, KVCache(k=k_new, v=v_new, length=cache.length)
+
+
+def final_hidden(params: LlamaParams, hidden: jax.Array,
+                 cfg: ModelConfig) -> jax.Array:
+    return rms_norm(hidden, params.final_norm, cfg.rms_norm_eps)
+
+
+def embed_tokens(params: LlamaParams, tokens: jax.Array) -> jax.Array:
+    return params.embed[jnp.clip(tokens, 0, params.embed.shape[0] - 1)]
+
+
+def lm_head_logits(params: LlamaParams, hidden: jax.Array) -> jax.Array:
+    """(..., H) -> (..., V) in float32."""
+    return (hidden.astype(jnp.float32) @
+            params.lm_head.astype(jnp.float32))
+
+
+def init_llama_params(key: jax.Array, cfg: ModelConfig,
+                      dtype=None) -> LlamaParams:
+    """Random init (tests / benches use random weights; real weights come
+    from models/loader.py)."""
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    l = cfg.num_hidden_layers
+    d = cfg.head_dim_
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    ks = jax.random.split(key, 16)
+
+    def init(k, shape, scale=None):
+        scale = scale if scale is not None else (shape[-2] ** -0.5 if len(shape) > 1 else 1.0)
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    layers = LlamaLayerParams(
+        wq=init(ks[0], (l, h, nq * d)),
+        wk=init(ks[1], (l, h, nkv * d)),
+        wv=init(ks[2], (l, h, nkv * d)),
+        wo=init(ks[3], (l, nq * d, h)),
+        bq=jnp.zeros((l, nq * d), dtype),
+        bk=jnp.zeros((l, nkv * d), dtype),
+        bv=jnp.zeros((l, nkv * d), dtype),
+        w_gate=init(ks[4], (l, h, i)),
+        w_up=init(ks[5], (l, h, i)),
+        w_down=init(ks[6], (l, i, h)),
+        input_ln=jnp.ones((l, h), dtype),
+        post_ln=jnp.ones((l, h), dtype),
+    )
+    return LlamaParams(
+        embed=init(ks[7], (v, h), scale=0.02),
+        layers=layers,
+        final_norm=jnp.ones((h,), dtype),
+        lm_head=init(ks[8], (h, v)),
+    )

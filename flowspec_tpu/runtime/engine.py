@@ -1,0 +1,321 @@
+"""Single-chip tree-speculative decoding engine.
+
+Reference: `EaModel.eagenerate` (eagle/ea_model.py:190-297) — the
+non-pipelined EAGLE loop the distributed schedules build on:
+prefill -> [draft tree -> verify whole tree -> accept -> compact KV] -> ...
+
+Everything per-round runs inside one jitted function with static shapes; the
+python loop only checks the stop condition and collects the (tiny) accepted
+token vector each round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowspec_tpu.config import EngineConfig, ModelConfig, SamplingConfig, TreeConfig
+from flowspec_tpu.draft.beam import topk_generate
+from flowspec_tpu.draft.eagle import EagleParams, draft_context_forward
+from flowspec_tpu.models.bias import prefill_bias, tree_bias
+from flowspec_tpu.models.kv_cache import KVCache, init_kv_cache
+from flowspec_tpu.models.llama import (
+    LlamaParams, embed_tokens, final_hidden, llama_forward, lm_head_logits,
+)
+from flowspec_tpu.tree.posterior import (
+    evaluate_posterior_greedy, evaluate_posterior_stochastic,
+)
+from flowspec_tpu.tree.sampling import sample_token
+from flowspec_tpu.tree.types import tree_attention_bias
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EngineState:
+    base_cache: KVCache
+    draft_cache: KVCache
+    commit_len: jax.Array       # () int32 — committed tokens (== base KV len)
+    root_token: jax.Array       # () int32 — current speculation root
+    pending_tokens: jax.Array   # (CTX,) int32 — draft pairs not yet consumed
+    pending_hidden: jax.Array   # (1, CTX, H)
+    n_pending: jax.Array        # () int32
+    key: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RoundResult:
+    accepted: jax.Array     # (D_cap,) int32 — tokens committed this round, -1 pad
+    n_accepted: jax.Array   # () int32  (== accept_len + 1, incl. old root)
+
+
+class SpecEngine:
+    """Owns params + jitted step functions for one (base, draft) model pair."""
+
+    def __init__(self, params: LlamaParams, draft: EagleParams,
+                 cfg: EngineConfig):
+        self.params = params
+        self.draft = draft
+        self.cfg = cfg
+        mc = cfg.model
+        tc = cfg.tree
+        self.ctx_pad = tc.depth_cap + 1
+        max_levels = tc.depth + tc.expand_depth
+        self.draft_kv_len = cfg.max_seq_len + max_levels * tc.top_k
+        self.base_kv_len = cfg.max_seq_len + tc.node_cap
+
+        self._prefill = jax.jit(functools.partial(_prefill_chunk, cfg=mc))
+        self._round = jax.jit(functools.partial(
+            _spec_round, cfg=mc, tree_cfg=tc, sampling=cfg.sampling))
+        self._ar_step = jax.jit(functools.partial(
+            _ar_step, cfg=mc, sampling=cfg.sampling))
+
+    # ---- state setup -----------------------------------------------------
+    def init_state(self, seed: int = 0) -> EngineState:
+        mc = self.cfg.model
+        dt = jnp.dtype(mc.dtype)
+        return EngineState(
+            base_cache=init_kv_cache(mc.num_hidden_layers, 1,
+                                     mc.num_key_value_heads,
+                                     self.base_kv_len, mc.head_dim_, dt),
+            draft_cache=init_kv_cache(1, 1, mc.num_key_value_heads,
+                                      self.draft_kv_len, mc.head_dim_, dt),
+            commit_len=jnp.zeros((), jnp.int32),
+            root_token=jnp.zeros((), jnp.int32),
+            pending_tokens=jnp.zeros((self.ctx_pad,), jnp.int32),
+            pending_hidden=jnp.zeros(
+                (1, self.ctx_pad, mc.hidden_size), dt),
+            n_pending=jnp.zeros((), jnp.int32),
+            key=jax.random.key(seed),
+        )
+
+    # ---- prefill ---------------------------------------------------------
+    def prefill(self, state: EngineState, prompt: np.ndarray) -> EngineState:
+        """Chunked prefill (ref pipeline_prefill, pipeline_utils.py:183-288).
+        Chunks are padded to `prefill_chunk`; the draft context advances in
+        lockstep with pairs (token_{i+1}, base_hidden_i)."""
+        c = self.cfg.prefill_chunk
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        p = len(prompt)
+        n_chunks = max(1, -(-p // c))
+        padded = np.full((n_chunks * c,), 0, np.int32)
+        padded[:p] = prompt
+        # next-token stream for draft pairs; last pair needs the sampled root,
+        # patched after the last chunk.
+        nxt = np.roll(padded, -1)
+
+        for i in range(n_chunks):
+            n_valid = jnp.asarray(min(c, p - i * c), jnp.int32)
+            state, last_logits = self._prefill(
+                state, self.params, self.draft,
+                jnp.asarray(padded[i * c:(i + 1) * c]),
+                jnp.asarray(nxt[i * c:(i + 1) * c]),
+                n_valid)
+        # sample the first root token from the last valid position
+        key, sub = jax.random.split(state.key)
+        root = sample_token(sub, last_logits, self.cfg.sampling,
+                            is_probs=False)
+        # the final draft pair (root, hidden_{p-1}) is still pending with a
+        # placeholder token; patch it.
+        pt = state.pending_tokens.at[state.n_pending - 1].set(root)
+        state = dataclasses.replace(state, key=key, root_token=root,
+                                    pending_tokens=pt)
+        return state
+
+    # ---- decoding --------------------------------------------------------
+    def generate(self, prompt, max_new_tokens: Optional[int] = None,
+                 eos_token_id: int = 2, seed: int = 0):
+        """Returns (tokens list incl prompt, stats dict)."""
+        max_new = max_new_tokens or self.cfg.max_new_tokens
+        state = self.init_state(seed)
+        state = self.prefill(state, prompt)
+        out = list(np.asarray(prompt, np.int64))
+        new_tokens = 0
+        rounds = 0
+        while new_tokens < max_new:
+            state, res = self._round(state, self.params, self.draft)
+            rounds += 1
+            acc = np.asarray(res.accepted)[:int(res.n_accepted)]
+            stop = False
+            for t in acc:
+                out.append(int(t))
+                new_tokens += 1
+                if int(t) == eos_token_id or new_tokens >= max_new:
+                    stop = True
+                    break
+            if stop:
+                break
+        return out, {"new_tokens": new_tokens, "rounds": rounds,
+                     "accept_per_round": new_tokens / max(rounds, 1)}
+
+    def generate_ar(self, prompt, max_new_tokens: Optional[int] = None,
+                    eos_token_id: int = 2, seed: int = 0):
+        """Plain autoregressive baseline (ref `ar` schedule,
+        stage_ea_model.py:558-601)."""
+        max_new = max_new_tokens or self.cfg.max_new_tokens
+        state = self.init_state(seed)
+        state = self.prefill(state, prompt)
+        out = list(np.asarray(prompt, np.int64))
+        tok = state.root_token
+        new_tokens = 0
+        while new_tokens < max_new:
+            out.append(int(tok))
+            new_tokens += 1
+            if int(tok) == eos_token_id:
+                break
+            state, tok = self._ar_step(state, self.params)
+        return out, {"new_tokens": new_tokens}
+
+
+# ---- jitted bodies -------------------------------------------------------
+
+def _prefill_chunk(state: EngineState, params: LlamaParams,
+                   draft: EagleParams, tokens, next_tokens, n_valid, *,
+                   cfg: ModelConfig):
+    c = tokens.shape[0]
+    start = state.commit_len
+    s_max = state.base_cache.max_len
+    hidden = embed_tokens(params, tokens[None])
+    bias = prefill_bias(start, c, s_max)
+    positions = start + jnp.arange(c, dtype=jnp.int32)
+    out, cache = llama_forward(params, state.base_cache, hidden, positions,
+                               bias, start, cfg)
+    cache = cache.with_length(start + n_valid)
+    normed = final_hidden(params, out, cfg)
+
+    # consume the *previous* pending pairs, then queue this chunk's pairs
+    dstate = _drain_pending(state, draft, cfg)
+    last_logits = lm_head_logits(
+        params, normed[0, jnp.clip(n_valid - 1, 0, c - 1)])
+    new_state = dataclasses.replace(
+        dstate,
+        base_cache=cache,
+        commit_len=start + n_valid,
+        pending_tokens=_pad_to(next_tokens, state.pending_tokens.shape[0]),
+        pending_hidden=_pad_rows(normed, state.pending_hidden.shape[1]),
+        n_pending=n_valid,
+    )
+    return new_state, last_logits
+
+
+def _drain_pending(state: EngineState, draft: EagleParams, cfg: ModelConfig):
+    """Advance the draft context KV over the queued (token, hidden) pairs."""
+    _, dcache = draft_context_forward(
+        draft, state.draft_cache, state.pending_tokens, state.pending_hidden,
+        state.draft_cache.length, state.n_pending, cfg)
+    return dataclasses.replace(state, draft_cache=dcache)
+
+
+def _pad_to(x, n):
+    c = x.shape[0]
+    if c == n:
+        return x.astype(jnp.int32)
+    if c > n:
+        return x[:n].astype(jnp.int32)
+    return jnp.concatenate([x, jnp.zeros((n - c,), x.dtype)]).astype(jnp.int32)
+
+
+def _pad_rows(h, n):
+    b, c, d = h.shape
+    if c == n:
+        return h
+    if c > n:
+        return h[:, :n]
+    return jnp.concatenate([h, jnp.zeros((b, n - c, d), h.dtype)], axis=1)
+
+
+def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
+                *, cfg: ModelConfig, tree_cfg: TreeConfig,
+                sampling: SamplingConfig):
+    """One draft->verify->accept round (ref eagle/ea_model.py:236-297)."""
+    n_cap = tree_cfg.node_cap
+    s_max = state.base_cache.max_len
+
+    # 1. draft context + tree generation
+    out, dcache = draft_context_forward(
+        draft, state.draft_cache, state.pending_tokens, state.pending_hidden,
+        state.draft_cache.length, state.n_pending, cfg)
+    root_hidden = out[0, jnp.clip(state.n_pending - 1, 0, out.shape[1] - 1)]
+    tree, beam_state, dcache = topk_generate(
+        draft, params.lm_head, dcache, state.root_token, root_hidden,
+        tree_cfg, cfg)
+
+    # 2. verify the whole tree in one chunk of node_cap tokens
+    commit = state.commit_len
+    anc_bias = tree_attention_bias(tree.parents, tree_cfg.depth_cap,
+                                   tree.valid())
+    bias = tree_bias(anc_bias, commit, jnp.zeros((), jnp.int32), s_max)
+    toks = jnp.where(tree.tokens >= 0, tree.tokens, 0)
+    hidden = embed_tokens(params, toks[None])
+    positions = commit + tree.depth
+    b_out, bcache = llama_forward(params, state.base_cache, hidden, positions,
+                                  bias, commit, cfg)
+    normed = final_hidden(params, b_out, cfg)          # (1, N, H)
+    node_logits = lm_head_logits(params, normed[0])    # (N, V) f32
+
+    # 3. accept
+    key, k1, k2 = jax.random.split(state.key, 3)
+    if sampling.is_greedy:
+        res = evaluate_posterior_greedy(node_logits, tree)
+    else:
+        res = evaluate_posterior_stochastic(node_logits, tree, sampling, k1)
+    new_root = sample_token(k2, res.sample_p, sampling, is_probs=True)
+
+    # 4. commit: path nodes [root, a_1..a_k]
+    d_cap = tree_cfg.depth_cap
+    path = tree.retrieve[res.best_leaf]                # (D,)
+    n_acc = res.accept_len + 1
+    d_idx = jnp.arange(d_cap, dtype=jnp.int32)
+    path_valid = d_idx < n_acc
+    safe_path = jnp.clip(path, 0, n_cap - 1)
+    accepted_tokens = jnp.where(path_valid, tree.tokens[safe_path], -1)
+
+    # 5. base KV compaction: keep accepted node rows right after commit_len
+    src = jnp.where(path_valid, commit + safe_path, 0)
+    bcache = bcache.compact(src, n_acc, commit)
+
+    # 6. next round's draft pairs: (a_1..a_k, new_root) with hiddens of
+    # (a_0..a_k)
+    ctx = state.pending_tokens.shape[0]
+    # pair d: (token a_{d+1}, hidden of a_d); the last pair carries new_root.
+    shifted = jnp.roll(accepted_tokens, -1)
+    pair_tok = jnp.where(d_idx + 1 < n_acc, shifted, 0)
+    pair_tok = jnp.where(d_idx + 1 == n_acc, new_root, pair_tok)
+    pair_hidden = normed[:, safe_path]                 # (1, D, H)
+    pair_hidden = jnp.where(path_valid[None, :, None], pair_hidden, 0.0)
+
+    new_state = EngineState(
+        base_cache=bcache,
+        draft_cache=dcache,
+        commit_len=commit + n_acc,
+        root_token=new_root,
+        pending_tokens=_pad_to(pair_tok, ctx),
+        pending_hidden=_pad_rows(pair_hidden, ctx),
+        n_pending=n_acc,
+        key=key,
+    )
+    return new_state, RoundResult(accepted=accepted_tokens, n_accepted=n_acc)
+
+
+def _ar_step(state: EngineState, params: LlamaParams, *, cfg: ModelConfig,
+             sampling: SamplingConfig):
+    """Decode one token autoregressively (baseline)."""
+    s_max = state.base_cache.max_len
+    commit = state.commit_len
+    hidden = embed_tokens(params, state.root_token[None][None])
+    bias = prefill_bias(commit, 1, s_max)
+    out, cache = llama_forward(params, state.base_cache, hidden,
+                               commit[None], bias, commit, cfg)
+    cache = cache.with_length(commit + 1)
+    logits = lm_head_logits(params, final_hidden(params, out, cfg))[0, 0]
+    key, sub = jax.random.split(state.key)
+    tok = sample_token(sub, logits, sampling, is_probs=False)
+    new_state = dataclasses.replace(state, base_cache=cache,
+                                    commit_len=commit + 1, root_token=tok,
+                                    key=key)
+    return new_state, tok

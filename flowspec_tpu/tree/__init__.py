@@ -6,7 +6,9 @@ fixed-capacity index operations that run on-chip.
 """
 
 from flowspec_tpu.tree.types import TokenTree, ancestor_matrix, tree_attention_bias
-from flowspec_tpu.tree.build import build_tree, compute_retrieve
+from flowspec_tpu.tree.build import (
+    build_tree, compute_retrieve, finalize_tree, select_topn,
+)
 from flowspec_tpu.tree.partition import partition_lengths, retrieve_cum_depths
 from flowspec_tpu.tree.posterior import (
     evaluate_posterior_greedy,
@@ -17,7 +19,7 @@ from flowspec_tpu.tree.merge import merge_trees
 
 __all__ = [
     "TokenTree", "ancestor_matrix", "tree_attention_bias",
-    "build_tree", "compute_retrieve",
+    "build_tree", "compute_retrieve", "finalize_tree", "select_topn",
     "partition_lengths", "retrieve_cum_depths",
     "evaluate_posterior_greedy", "evaluate_posterior_stochastic",
     "compute_pruning_info", "prune_tree", "merge_trees",

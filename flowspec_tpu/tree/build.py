@@ -3,7 +3,9 @@
 This is the jit-compatible equivalent of the post-processing half of
 `Model.topK_genrate` (eagle/cnets.py:833-989): global top-N selection over all
 beam candidates, BFS re-indexing, ancestor-mask/position construction, and
-retrieve-indices (per-leaf root->leaf paths).
+retrieve-indices (per-leaf root->leaf paths). Selection is mask-based so
+`expand_last` (eagle/cnets.py:1439-1708) can force-include the previously
+selected node set while topping up with new candidates.
 """
 
 from __future__ import annotations
@@ -14,57 +16,74 @@ import jax.numpy as jnp
 from flowspec_tpu.tree.types import TokenTree, ancestor_matrix
 
 
+def select_topn(cand_scores: jax.Array, cand_valid: jax.Array,
+                num_select, force_include: jax.Array | None = None
+                ) -> jax.Array:
+    """(M,) bool — top-`num_select` valid candidates by score, plus everything
+    in `force_include`. Cumulative log-prob scores are monotone along paths so
+    the result is ancestor-closed (same tie caveat as the reference's plain
+    top-k, eagle/cnets.py:841-846)."""
+    m = cand_scores.shape[0]
+    eligible = cand_valid
+    if force_include is not None:
+        eligible = eligible & ~force_include
+    masked = jnp.where(eligible, cand_scores, -jnp.inf)
+    order = jnp.argsort(-masked, stable=True)
+    rank = jnp.zeros((m,), jnp.int32).at[order].set(
+        jnp.arange(m, dtype=jnp.int32))
+    sel = eligible & (rank < num_select) & (masked > -jnp.inf)
+    if force_include is not None:
+        sel = sel | (force_include & cand_valid)
+    return sel
+
+
 def build_tree(
     cand_tokens: jax.Array,    # (M,) int32 — all beam candidates, flat
     cand_scores: jax.Array,    # (M,) float32 — cumulative log-probs
     cand_parents: jax.Array,   # (M,) int32 — flat candidate index of parent, -1 = root
-    cand_valid: jax.Array,     # (M,) bool — candidate exists
+    selected: jax.Array,       # (M,) bool — ancestor-closed selection mask
     root_token: jax.Array,     # () int32 — the sampled token the tree hangs off
-    num_select: int,           # select top-`num_select` candidates (ref total_tokens)
     node_cap: int,
     leaf_cap: int,
     depth_cap: int,
 ) -> TokenTree:
-    """Select top-`num_select` candidates by score and assemble the tree.
-
-    The beam guarantees score(child) <= score(parent) (scores are cumulative
-    log-probs), so the selected set is ancestor-closed — same property the
-    reference relies on for its searchsorted parent lookup
-    (eagle/cnets.py:903-906). Ties could in principle cut a parent while
-    keeping a child; like the reference we accept that risk (argsort is
-    deterministic, and exact float ties across distinct tree nodes are
-    vanishingly rare).
-    """
+    """Assemble the tree from a selection mask. Selected candidates become
+    nodes 1..n in ascending flat-index order (level-major == BFS, parents
+    before children). Selections beyond node_cap-1 are dropped lowest-score
+    first."""
     m = cand_tokens.shape[0]
-    assert num_select <= m and num_select < node_cap
 
-    masked_scores = jnp.where(cand_valid, cand_scores, -jnp.inf)
-    # Top-`num_select` candidate flat-indices, then ascending index order ==
-    # BFS order (level-major) so parents precede children.
-    _, top_idx = jax.lax.top_k(masked_scores, num_select)
-    top_idx = jnp.sort(top_idx)
+    # Cap selection count at node_cap-1 (drop lowest scores).
+    masked = jnp.where(selected, cand_scores, -jnp.inf)
+    order = jnp.argsort(-masked, stable=True)
+    rank = jnp.zeros((m,), jnp.int32).at[order].set(
+        jnp.arange(m, dtype=jnp.int32))
+    selected = selected & (rank < node_cap - 1)
 
-    # invmap: flat candidate index -> node index (1-based; 0 is the root).
+    n_sel = jnp.sum(selected).astype(jnp.int32)
+    sel_order = jnp.argsort(~selected, stable=True)     # selected idx ascending
+    q = jnp.arange(node_cap, dtype=jnp.int32)
+    src = sel_order[jnp.clip(q - 1, 0, m - 1)]          # candidate for node q
+    in_sel = (q >= 1) & (q <= n_sel)
+
+    # invmap: flat candidate index -> node index (0 = root for parent -1).
     invmap = jnp.full((m,), -1, jnp.int32)
-    invmap = invmap.at[top_idx].set(jnp.arange(1, num_select + 1, dtype=jnp.int32))
+    invmap = invmap.at[sel_order].set(
+        jnp.where(jnp.arange(m) < n_sel,
+                  jnp.arange(1, m + 1, dtype=jnp.int32), -1))
 
-    sel_tokens = cand_tokens[top_idx]
-    sel_scores = cand_scores[top_idx]
-    sel_parent_flat = cand_parents[top_idx]
-    # Parent node index: -1 (root child) -> 0; otherwise remap via invmap.
-    safe_pf = jnp.clip(sel_parent_flat, 0, m - 1)
-    sel_parents = jnp.where(sel_parent_flat < 0, 0, invmap[safe_pf])
+    pf = cand_parents[src]
+    parents = jnp.where(pf < 0, 0, invmap[jnp.clip(pf, 0, m - 1)])
+    tokens = jnp.where(in_sel, cand_tokens[src], -1)
+    parents = jnp.where(in_sel, parents, -1)
+    scores = jnp.where(in_sel, cand_scores[src], -jnp.inf)
 
-    n_nodes = jnp.asarray(num_select + 1, jnp.int32)
-    pad_n = node_cap - (num_select + 1)
-    tokens = jnp.concatenate([root_token[None].astype(jnp.int32), sel_tokens,
-                              jnp.full((pad_n,), -1, jnp.int32)])
-    parents = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sel_parents,
-                               jnp.full((pad_n,), -1, jnp.int32)])
-    scores = jnp.concatenate([jnp.zeros((1,), jnp.float32), sel_scores,
-                              jnp.full((pad_n,), -jnp.inf, jnp.float32)])
+    tokens = tokens.at[0].set(root_token.astype(jnp.int32))
+    parents = parents.at[0].set(-1)
+    scores = scores.at[0].set(0.0)
 
-    return finalize_tree(tokens, parents, scores, n_nodes, leaf_cap, depth_cap)
+    return finalize_tree(tokens, parents, scores, n_sel + 1,
+                         leaf_cap, depth_cap)
 
 
 def finalize_tree(tokens: jax.Array, parents: jax.Array, scores: jax.Array,

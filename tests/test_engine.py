@@ -1,0 +1,90 @@
+"""End-to-end single-chip engine: speculative decoding must be lossless.
+
+Under greedy sampling, tree-speculative decoding provably emits exactly the
+same token stream as plain autoregressive decoding (every committed token is
+an argmax of the base model's distribution in the identical context). This
+is the defining correctness property of the whole stack — draft beam, tree
+build, tree-masked verify, posterior, KV compaction, draft-context alignment.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flowspec_tpu.config import (
+    EngineConfig, ModelConfig, SamplingConfig, TreeConfig,
+)
+from flowspec_tpu.draft.eagle import init_eagle_params
+from flowspec_tpu.models.llama import init_llama_params
+from flowspec_tpu.runtime.engine import SpecEngine
+
+
+def _make_engine(seed=0, vocab=32, temperature=0.0):
+    mc = ModelConfig.tiny(vocab_size=vocab, n_layers=2)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    tc = TreeConfig(top_k=8, depth=4, total_tokens=24, expand_tokens=16,
+                    expand_depth=2, node_cap=48, leaf_cap=48, depth_cap=12,
+                    chunk_len=8)
+    cfg = EngineConfig(model=mc, tree=tc,
+                       sampling=SamplingConfig(temperature=temperature),
+                       max_new_tokens=48, max_seq_len=256, prefill_chunk=16)
+    params = init_llama_params(jax.random.key(seed), mc, dtype=jnp.float32)
+    draft = init_eagle_params(jax.random.key(seed + 100), mc,
+                              embed=params.embed, dtype=jnp.float32)
+    return SpecEngine(params, draft, cfg)
+
+
+def test_spec_equals_ar_greedy():
+    eng = _make_engine()
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        prompt = rng.integers(3, 30, 12 + 5 * trial).tolist()
+        ar, _ = eng.generate_ar(prompt, max_new_tokens=40, eos_token_id=-1)
+        spec, stats = eng.generate(prompt, max_new_tokens=40, eos_token_id=-1)
+        assert spec == ar, (
+            f"trial {trial}: spec={spec[len(prompt):]} ar={ar[len(prompt):]}"
+            f" stats={stats}")
+        assert stats["accept_per_round"] >= 1.0
+
+
+def test_some_acceptance_happens():
+    """With a small vocab and top-8 beam, the tree should accept beyond the
+    root in at least one round (otherwise the accept path isn't exercised)."""
+    eng = _make_engine(seed=1, vocab=16)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(3, 14, 10).tolist()
+    spec, stats = eng.generate(prompt, max_new_tokens=40, eos_token_id=-1)
+    ar, _ = eng.generate_ar(prompt, max_new_tokens=40, eos_token_id=-1)
+    assert spec == ar
+    assert stats["accept_per_round"] > 1.0, stats
+
+
+def test_eos_stops_generation():
+    eng = _make_engine(seed=2)
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(3, 30, 8).tolist()
+    ar, _ = eng.generate_ar(prompt, max_new_tokens=40, eos_token_id=-1)
+    # pick the 5th generated token as "eos" and re-run with it
+    eos = ar[len(prompt) + 4]
+    spec, _ = eng.generate(prompt, max_new_tokens=40, eos_token_id=eos)
+    # generation must stop at (and include) the first eos occurrence
+    gen = spec[len(prompt):]
+    assert eos in gen
+    first = gen.index(eos)
+    assert len(gen) == first + 1
+    assert gen[:first + 1] == ar[len(prompt):len(prompt) + first + 1]
+
+
+def test_stochastic_runs_and_matches_context():
+    """Temperature=1: output need not match AR, but every committed token must
+    be a valid continuation (in-vocab) and the engine must not crash."""
+    eng = _make_engine(seed=3, temperature=1.0)
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(3, 30, 10).tolist()
+    out, stats = eng.generate(prompt, max_new_tokens=30, eos_token_id=-1,
+                              seed=7)
+    gen = out[len(prompt):]
+    assert len(gen) == 30
+    assert all(0 <= t < 32 for t in gen)
+    assert stats["accept_per_round"] >= 1.0
