@@ -159,8 +159,9 @@ def topk_generate(p: EagleParams, head: jax.Array, cache: KVCache,
     The returned cache has the beam region written but `length` still at
     ctx_end — the reference's stable_kv semantics (eagle/cnets.py:737-744).
     """
-    depth = depth or tree_cfg.depth
-    num_select = num_select or tree_cfg.total_tokens
+    depth = depth if depth is not None else tree_cfg.depth
+    num_select = (num_select if num_select is not None
+                  else tree_cfg.total_tokens)   # 0 = root-only tree (ar mode)
     max_levels = max_levels or (tree_cfg.depth + tree_cfg.expand_depth)
     assert depth <= max_levels
 

@@ -1,0 +1,741 @@
+"""SPMD pipelined tree-speculative decoding over a `stage` mesh axis.
+
+Reference: the schedule methods of `StageEaModel`
+(stage_ea_model.py:369-1791) and their comm layer (comm/comm_handler.py).
+The reference runs 5 asymmetric processes — 1 draft rank + 4 verify ranks —
+exchanging dynamically-shaped CPU tensors over gloo with broadcast control
+messages. Here the whole round is ONE jitted SPMD program:
+
+- base-model layers are stacked and sharded over the `stage` axis; each
+  device's `lax.scan` covers its own layer block;
+- activation chunks hop stages via `lax.ppermute`; the completed chunk
+  reaches everyone via `all_gather` (100KB-class transfers on ICI);
+- the draft model, lm_head, embeddings and all tree algebra are *replicated*:
+  every device computes the verdict/pruning identically, which deletes the
+  reference's entire broadcast control plane (comm_handler.py:211-234) and
+  its async send/recv threads;
+- dynamic chunk lengths become fixed-capacity buffers with validity counts;
+  the `while True` turn loop is a `lax.while_loop`.
+
+One deliberate improvement over the reference: verified node logits persist
+in a replicated (node_cap, V) buffer that is remapped on every prune, so a
+verdict can accept through *previously verified* surviving nodes. The
+reference indexes only the just-completed chunk's logits
+(stage_ea_model.py:1160-1178), which silently mis-indexes when the re-rooted
+tree retains verified descendants; the buffer makes the verdict exact and
+strictly deeper.
+
+Schedules (ref stage_ea_model.py):
+  naive      — stream all chunks, one verdict per round        (:704-780)
+  pruned     — per-completion verdict + in-flight pruning      (:782-1056)
+  continuous — pruned + per-turn tree expansion & merge        (:1058-1446)
+  serial     — naive with one whole-tree chunk                 (:603-701)
+  ar         — degenerate 1-node tree                          (:558-601)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flowspec_tpu.config import EngineConfig
+from flowspec_tpu.draft.beam import topk_generate
+from flowspec_tpu.draft.eagle import EagleParams, draft_context_forward
+from flowspec_tpu.models.bias import prefill_bias, tree_bias
+from flowspec_tpu.models.kv_cache import KVCache, init_kv_cache
+from flowspec_tpu.models.llama import (
+    LlamaLayerParams, LlamaParams, embed_tokens, final_hidden, llama_forward,
+    lm_head_logits,
+)
+from flowspec_tpu.tree.partition import partition_lengths, rebucket_lengths
+from flowspec_tpu.tree.posterior import (
+    evaluate_posterior_greedy, evaluate_posterior_stochastic,
+)
+from flowspec_tpu.tree.prune import (
+    compute_pruning_info, kv_keep_positions, prune_tree,
+)
+from flowspec_tpu.tree.merge import merge_trees
+from flowspec_tpu.tree.sampling import sample_token
+from flowspec_tpu.tree.types import TokenTree, ancestor_matrix, NEG_INF
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PipeState:
+    """Cross-round state. `kv` is stage-sharded; everything else replicated."""
+    kv: KVCache                # (L, B, H, S, D) sharded over stage on axis 0
+    draft_cache: KVCache       # replicated
+    commit_len: jax.Array
+    root_token: jax.Array
+    pend_tok: jax.Array        # (CTX,) draft pairs pending
+    pend_hid: jax.Array        # (1, CTX, H)
+    pend_n: jax.Array
+    key: jax.Array
+
+
+class Flight(NamedTuple):
+    """A chunk in the pipeline: contiguous node ids [start, start+n)."""
+    h: jax.Array       # (C, H)
+    start: jax.Array   # () int32 — first node id
+    n: jax.Array       # () int32
+
+
+class RoundOut(NamedTuple):
+    out_tokens: jax.Array   # (OUT_CAP,)
+    n_out: jax.Array
+    turns: jax.Array
+
+
+def _right_perm(p):
+    return [(i, (i + 1) % p) for i in range(p)]
+
+
+def _ppermute_flight(fl: Flight, p: int) -> Flight:
+    perm = _right_perm(p)
+    return Flight(h=jax.lax.ppermute(fl.h, "stage", perm),
+                  start=jax.lax.ppermute(fl.start, "stage", perm),
+                  n=jax.lax.ppermute(fl.n, "stage", perm))
+
+
+def _last_stage_flight(fl: Flight, p: int) -> Flight:
+    return Flight(h=jax.lax.all_gather(fl.h, "stage")[p - 1],
+                  start=jax.lax.all_gather(fl.start, "stage")[p - 1],
+                  n=jax.lax.all_gather(fl.n, "stage")[p - 1])
+
+
+class _Carry(NamedTuple):
+    # replicated
+    tree: TokenTree
+    lens: jax.Array          # (S_CAP,) in-flight + queued chunk lengths
+    n_chunks: jax.Array
+    next_inject: jax.Array
+    verified: jax.Array      # nodes [0, verified) have logits in vlogits
+    commit: jax.Array
+    key: jax.Array
+    draft_cache: KVCache
+    vhidden: jax.Array       # (N, H) post-norm hidden of verified nodes
+    vlogits: jax.Array       # (N, V) float32
+    out_tokens: jax.Array    # (OUT,) committed this round
+    n_out: jax.Array
+    truncate: jax.Array      # bool
+    sampled_root: jax.Array  # next round's root (valid when truncate)
+    pend_tok: jax.Array
+    pend_hid: jax.Array
+    pend_n: jax.Array
+    turn: jax.Array
+    alive: jax.Array
+    # per-stage local
+    kv: KVCache
+    kv_tree_len: jax.Array   # tree nodes this stage has written to its kv
+    out: Flight              # my forward output (ppermuted next turn)
+
+
+class PipelineEngine:
+    """Multi-stage engine mirroring SpecEngine's API over a stage mesh."""
+
+    def __init__(self, params: LlamaParams, draft: EagleParams,
+                 cfg: EngineConfig, mesh: Mesh | None = None,
+                 schedule: str = "continuous"):
+        assert schedule in ("naive", "pruned", "continuous", "serial", "ar")
+        self.cfg = cfg
+        self.schedule = schedule
+        mc, tc = cfg.model, cfg.tree
+        p_stages = cfg.topology.num_stages
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()[:p_stages]), ("stage",))
+        self.mesh = mesh
+        self.p = p_stages
+        assert mc.num_hidden_layers % p_stages == 0, \
+            "layer count must divide stages evenly (uneven splits: later)"
+
+        # static capacities
+        if schedule == "serial":
+            self.c_buf = tc.node_cap
+        else:
+            n0 = tc.total_tokens + 1
+            if n0 // p_stages <= tc.chunk_len:
+                mx = -(-n0 // p_stages)
+            else:
+                mx = max(tc.chunk_len, n0 - tc.chunk_len * p_stages)
+            self.c_buf = max(mx, tc.chunk_len) + 1
+        self.ctx = tc.depth_cap + 1
+        self.out_cap = 4 * tc.node_cap
+        self.max_turns = 64
+        self.force_turn = self.max_turns - tc.chunk_cap - p_stages - 4
+        self.max_levels = tc.depth + tc.expand_depth
+
+        self.params = self._shard_params(params)
+        self.draft = jax.device_put(draft, NamedSharding(mesh, P()))
+
+        pspec, dspec, sspec = self._specs()
+        fspec = Flight(h=P(), start=P(), n=P())
+
+        self._prefill_turn = jax.jit(jax.shard_map(
+            functools.partial(_prefill_turn, mc=mc, p=p_stages,
+                              pc=cfg.prefill_chunk),
+            mesh=mesh,
+            in_specs=(pspec, sspec, fspec, P(), P(), P()),
+            out_specs=(sspec, fspec, P(), P()),
+            check_vma=False))
+
+        self._draft_drain = jax.jit(jax.shard_map(
+            functools.partial(_draft_drain, mc=mc),
+            mesh=mesh,
+            in_specs=(dspec, sspec, P(), P(), P()),
+            out_specs=sspec, check_vma=False))
+
+        self._round = jax.jit(jax.shard_map(
+            functools.partial(
+                _pipeline_round, mc=mc, tc=tc, sampling=cfg.sampling,
+                p=p_stages, c_buf=self.c_buf, out_cap=self.out_cap,
+                max_turns=self.max_turns, force_turn=self.force_turn,
+                schedule=schedule, max_levels=self.max_levels),
+            mesh=mesh,
+            in_specs=(pspec, dspec, sspec, P(), P()),
+            out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P())),
+            check_vma=False))
+
+    # ------------------------------------------------------------------
+    def _shard_params(self, params: LlamaParams) -> LlamaParams:
+        m = self.mesh
+        lp = params.layers
+        lp = dataclasses.replace(lp, **{
+            f.name: jax.device_put(getattr(lp, f.name),
+                                   NamedSharding(m, P("stage")))
+            for f in dataclasses.fields(lp)})
+        rep = lambda x: jax.device_put(x, NamedSharding(m, P()))
+        return dataclasses.replace(params, layers=lp,
+                                   embed=rep(params.embed),
+                                   final_norm=rep(params.final_norm),
+                                   lm_head=rep(params.lm_head))
+
+    def _specs(self):
+        lspec = LlamaLayerParams(**{
+            f.name: P("stage") for f in dataclasses.fields(LlamaLayerParams)})
+        pspec = LlamaParams(embed=P(), layers=lspec, final_norm=P(),
+                            lm_head=P())
+        dspec = EagleParams(**{
+            f.name: P() for f in dataclasses.fields(EagleParams)})
+        sspec = PipeState(
+            kv=KVCache(k=P("stage"), v=P("stage"), length=P()),
+            draft_cache=KVCache(k=P(), v=P(), length=P()),
+            commit_len=P(), root_token=P(), pend_tok=P(), pend_hid=P(),
+            pend_n=P(), key=P())
+        return pspec, dspec, sspec
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: int = 0) -> PipeState:
+        mc, tc = self.cfg.model, self.cfg.tree
+        dt = jnp.dtype(mc.dtype)
+        mesh = self.mesh
+        # Margin beyond max_seq: the tree region + the compaction window
+        # (dynamic_update_slice clamps starts, so writes must always fit).
+        kv_len = self.cfg.max_seq_len + 2 * tc.node_cap + tc.depth_cap
+        kv = init_kv_cache(mc.num_hidden_layers, 1, mc.num_key_value_heads,
+                           kv_len, mc.head_dim_, dt)
+        kv = KVCache(
+            k=jax.device_put(kv.k, NamedSharding(mesh, P("stage"))),
+            v=jax.device_put(kv.v, NamedSharding(mesh, P("stage"))),
+            length=jax.device_put(kv.length, NamedSharding(mesh, P())))
+        dc = init_kv_cache(1, 1, mc.num_key_value_heads,
+                           self.cfg.max_seq_len + self.max_levels * tc.top_k,
+                           mc.head_dim_, dt)
+        rep = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+        return PipeState(
+            kv=kv,
+            draft_cache=KVCache(k=rep(dc.k), v=rep(dc.v),
+                                length=rep(dc.length)),
+            commit_len=rep(jnp.zeros((), jnp.int32)),
+            root_token=rep(jnp.zeros((), jnp.int32)),
+            pend_tok=rep(jnp.zeros((self.ctx,), jnp.int32)),
+            pend_hid=rep(jnp.zeros((1, self.ctx, mc.hidden_size), dt)),
+            pend_n=rep(jnp.zeros((), jnp.int32)),
+            key=rep(jax.random.key(seed)),
+        )
+
+    # ------------------------------------------------------------------
+    def prefill(self, state: PipeState, prompt) -> PipeState:
+        """Pipelined chunked prefill (ref pipeline_prefill,
+        pipeline_utils.py:183-288), then the draft context catches up over
+        the collected (next_token, hidden) pairs."""
+        mc = self.cfg.model
+        pc = self.cfg.prefill_chunk
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        n = len(prompt)
+        n_chunks = max(1, -(-n // pc))
+        padded = np.zeros((n_chunks * pc,), np.int32)
+        padded[:n] = prompt
+
+        dt = jnp.dtype(mc.dtype)
+        out = Flight(h=jnp.zeros((pc, mc.hidden_size), dt),
+                     start=jnp.zeros((), jnp.int32),
+                     n=jnp.zeros((), jnp.int32))
+        hiddens = []
+        last_logits = None
+        for t in range(n_chunks + self.p):
+            if t < n_chunks:
+                ct = jnp.asarray(padded[t * pc:(t + 1) * pc])
+                nv = jnp.asarray(min(pc, n - t * pc), jnp.int32)
+                cs = jnp.asarray(t * pc, jnp.int32)
+            else:
+                ct = jnp.zeros((pc,), jnp.int32)
+                nv = jnp.zeros((), jnp.int32)
+                cs = jnp.zeros((), jnp.int32)
+            state, out, comp_h, comp_n = self._prefill_turn(
+                self.params, state, out, ct, nv, cs)
+            cn = int(comp_n)
+            if cn > 0:
+                h = np.asarray(comp_h)[:cn]
+                hiddens.append(h)
+        all_h = np.concatenate(hiddens, axis=0)[:n]
+        last_logits = lm_head_logits(
+            self.params, jnp.asarray(all_h[-1], dt))
+
+        key, sub = jax.random.split(state.key)
+        root = sample_token(sub, last_logits, self.cfg.sampling,
+                            is_probs=False)
+
+        # draft context pairs: (prompt[i+1], h_i) .. last pair (root, h_last)
+        pair_tok = np.zeros((n_chunks * pc,), np.int32)
+        pair_tok[:n - 1] = prompt[1:]
+        pair_h = np.zeros((n_chunks * pc, mc.hidden_size), np.float32)
+        pair_h[:n] = all_h.astype(np.float32)
+        for c in range(n_chunks):
+            ct = jnp.asarray(pair_tok[c * pc:(c + 1) * pc])
+            ch = jnp.asarray(pair_h[c * pc:(c + 1) * pc], dt)[None]
+            nv = jnp.asarray(max(0, min(pc, (n - 1) - c * pc)), jnp.int32)
+            state = self._draft_drain(self.draft, state, ct, ch, nv)
+
+        # the root pair (root, h_last) stays pending for round 1
+        state = dataclasses.replace(
+            state, key=key, root_token=root,
+            commit_len=jnp.asarray(n, jnp.int32),
+            pend_tok=jnp.zeros((self.ctx,), jnp.int32).at[0].set(root),
+            pend_hid=jnp.zeros_like(state.pend_hid).at[0, 0].set(
+                jnp.asarray(all_h[-1], dt)),
+            pend_n=jnp.ones((), jnp.int32))
+        return state
+
+    # ------------------------------------------------------------------
+    def generate(self, prompt, max_new_tokens=None, eos_token_id=2,
+                 seed: int = 0):
+        max_new = max_new_tokens or self.cfg.max_new_tokens
+        state = self.init_state(seed)
+        state = self.prefill(state, prompt)
+        out = list(np.asarray(prompt, np.int64))
+        new_tokens = 0
+        rounds = 0
+        turns_total = 0
+        while new_tokens < max_new:
+            state, res = self._round(
+                self.params, self.draft, state,
+                jnp.asarray(eos_token_id, jnp.int32),
+                jnp.asarray(max_new - new_tokens, jnp.int32))
+            rounds += 1
+            turns_total += int(res.turns)
+            acc = np.asarray(res.out_tokens)[:int(res.n_out)]
+            stop = False
+            for t in acc:
+                out.append(int(t))
+                new_tokens += 1
+                if int(t) == eos_token_id or new_tokens >= max_new:
+                    stop = True
+                    break
+            if stop or int(res.n_out) == 0:
+                break
+        return out, {"new_tokens": new_tokens, "rounds": rounds,
+                     "turns": turns_total,
+                     "accept_per_round": new_tokens / max(rounds, 1)}
+
+
+# ======================================================================
+# shard_map bodies
+# ======================================================================
+
+def _prefill_turn(params, state: PipeState, out: Flight, chunk_tok, n_valid,
+                  chunk_start, *, mc, p, pc):
+    """One lockstep prefill turn: ring-hop, stage-0 injects a fresh prompt
+    chunk, everyone forwards its chunk through its layer shard."""
+    idx = jax.lax.axis_index("stage")
+    s_max = state.kv.max_len
+
+    inc = _ppermute_flight(out, p)
+    comp = _last_stage_flight(out, p)
+    comp_normed = final_hidden(params, comp.h[None], mc)[0]
+
+    my = Flight(
+        h=jnp.where(idx == 0, embed_tokens(params, chunk_tok[None])[0], inc.h),
+        start=jnp.where(idx == 0, chunk_start, inc.start),
+        n=jnp.where(idx == 0, n_valid, inc.n))
+
+    def fwd(kv):
+        bias = prefill_bias(my.start, pc, s_max)
+        positions = my.start + jnp.arange(pc, dtype=jnp.int32)
+        h, kv2 = llama_forward(params, kv, my.h[None], positions, bias,
+                               my.start, mc)
+        return h[0].astype(my.h.dtype), kv2
+
+    h_out, kv = jax.lax.cond(my.n > 0, fwd,
+                             lambda kv: (jnp.zeros_like(my.h), kv), state.kv)
+    kv = kv.with_length(jnp.maximum(kv.length, my.start + my.n))
+    new_state = dataclasses.replace(state, kv=kv)
+    return new_state, Flight(h=h_out, start=my.start, n=my.n), \
+        comp_normed, comp.n
+
+
+def _draft_drain(draft, state: PipeState, toks, hid, n_valid, *, mc):
+    """Advance the replicated draft-context KV over (token, hidden) pairs."""
+    _, dc = draft_context_forward(draft, state.draft_cache, toks, hid,
+                                  state.draft_cache.length, n_valid, mc)
+    return dataclasses.replace(state, draft_cache=dc)
+
+
+def _stage_layers(params: LlamaParams):
+    return params
+
+
+def _forward_chunk(params, kv, tree: TokenTree, fl: Flight, commit, c_buf,
+                   mc):
+    """Run my layer shard over an in-flight chunk (contiguous node ids)."""
+    s_max = kv.max_len
+    n_cap = tree.node_cap
+    ids = fl.start + jnp.arange(c_buf, dtype=jnp.int32)
+    safe = jnp.clip(ids, 0, n_cap - 1)
+    anc = ancestor_matrix(tree.parents, tree.depth_cap, tree.valid())
+    rows = anc[safe]                                        # (C, N)
+    rows = rows & (jnp.arange(c_buf)[:, None] < fl.n)
+    row_bias = jnp.where(rows, 0.0, NEG_INF).astype(jnp.float32)
+    bias = tree_bias(row_bias, commit, jnp.zeros((), jnp.int32), s_max)
+    positions = commit + tree.depth[safe]
+    h, kv2 = llama_forward(params, kv, fl.h[None], positions, bias,
+                           commit + fl.start, mc)
+    return h[0].astype(fl.h.dtype), kv2
+
+
+def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
+                    mc, tc, sampling, p, c_buf, out_cap, max_turns,
+                    force_turn, schedule, max_levels):
+    """One speculation round: draft a tree, stream/verify/prune/expand until
+    truncate, return committed tokens + next-round state."""
+    n_cap, d_cap = tc.node_cap, tc.depth_cap
+    s_cap = tc.chunk_cap
+    vocab = params.embed.shape[0]
+    h_dim = params.embed.shape[1]
+    dt = state.pend_hid.dtype
+    ctx = state.pend_tok.shape[0]
+    do_inflight_verdict = schedule in ("pruned", "continuous")
+    do_expand = schedule == "continuous"
+
+    # ---- 1. draft the initial tree (replicated) ----
+    d_out, dcache = draft_context_forward(
+        draft, state.draft_cache, state.pend_tok, state.pend_hid,
+        state.draft_cache.length, state.pend_n, mc)
+    root_hidden = d_out[0, jnp.clip(state.pend_n - 1, 0, ctx - 1)]
+    tree, _, dcache = topk_generate(
+        draft, params.lm_head, dcache, state.root_token, root_hidden,
+        tc, mc, num_select=0 if schedule == "ar" else None,
+        max_levels=max_levels)
+
+    if schedule == "serial":
+        lens = jnp.zeros((s_cap,), jnp.int32).at[0].set(tree.n_nodes)
+        n_chunks = jnp.asarray(1, jnp.int32)
+    else:
+        lens, n_chunks = partition_lengths(tree.n_nodes, p, tc.chunk_len,
+                                           s_cap)
+
+    empty_flight = Flight(h=jnp.zeros((c_buf, h_dim), dt),
+                          start=jnp.zeros((), jnp.int32),
+                          n=jnp.zeros((), jnp.int32))
+
+    carry = _Carry(
+        tree=tree, lens=lens, n_chunks=n_chunks,
+        next_inject=jnp.zeros((), jnp.int32),
+        verified=jnp.zeros((), jnp.int32),
+        commit=state.commit_len, key=state.key, draft_cache=dcache,
+        vhidden=jnp.zeros((n_cap, h_dim), dt),
+        vlogits=jnp.zeros((n_cap, vocab), jnp.float32),
+        out_tokens=jnp.zeros((out_cap,), jnp.int32),
+        n_out=jnp.zeros((), jnp.int32),
+        truncate=jnp.asarray(False),
+        sampled_root=jnp.zeros((), jnp.int32),
+        pend_tok=jnp.zeros((ctx,), jnp.int32),
+        pend_hid=jnp.zeros((1, ctx, h_dim), dt),
+        pend_n=jnp.zeros((), jnp.int32),
+        turn=jnp.zeros((), jnp.int32),
+        alive=jnp.asarray(True),
+        kv=state.kv, kv_tree_len=jnp.zeros((), jnp.int32),
+        out=empty_flight)
+
+    def cond(c: _Carry):
+        return c.alive & (c.turn < max_turns)
+
+    def body(c: _Carry) -> _Carry:
+        idx = jax.lax.axis_index("stage")
+        inc = _ppermute_flight(c.out, p)
+        comp = _last_stage_flight(c.out, p)
+
+        # ---- collect the completed chunk into the verified buffers ----
+        comp_normed = final_hidden(params, comp.h[None], mc)[0]  # (C, H)
+        comp_logits = lm_head_logits(params, comp_normed)        # (C, V) f32
+        rows = comp.start + jnp.arange(c_buf, dtype=jnp.int32)
+        rows_ok = jnp.arange(c_buf) < comp.n
+        wrows = jnp.where(rows_ok, rows, n_cap)    # OOB writes dropped
+        vhidden = c.vhidden.at[wrows].set(
+            comp_normed.astype(dt), mode="drop")
+        vlogits = c.vlogits.at[wrows].set(comp_logits, mode="drop")
+        verified = c.verified + comp.n
+        # Retire the completed chunk from the queue, together with any
+        # leading zero-length chunks (fully-pruned or degenerate chunks
+        # travel the pipe as empty flights and complete invisibly).
+        lead = jnp.argmax(c.lens > 0).astype(jnp.int32)
+        r = jnp.where(comp.n > 0, lead + 1, 0)
+        sh = jnp.arange(s_cap, dtype=jnp.int32) + r
+        lens = jnp.where(sh < s_cap, c.lens[jnp.clip(sh, 0, s_cap - 1)], 0)
+        n_chunks = c.n_chunks - r
+        next_inject = c.next_inject - r
+
+        # ---- decide whether to verdict this turn ----
+        all_verified = verified >= c.tree.n_nodes
+        drained = (n_chunks <= 0)
+        if do_inflight_verdict:
+            do_verdict = (comp.n > 0) | (drained & all_verified)
+        else:
+            do_verdict = all_verified & (c.tree.n_nodes > 0)
+
+        force = (c.turn >= force_turn) | (c.n_out + d_cap >= out_cap)
+
+        def verdict_branch(c, lens, n_chunks, next_inject, verified,
+                           vhidden, vlogits):
+            # subtree view: only entries with logits
+            sub_retrieve = jnp.where(
+                (c.tree.retrieve >= 0) & (c.tree.retrieve < verified),
+                c.tree.retrieve, -1)
+            vtree = dataclasses.replace(c.tree, retrieve=sub_retrieve)
+            key, k1, k2 = jax.random.split(c.key, 3)
+            if sampling.is_greedy:
+                res = evaluate_posterior_greedy(vlogits, vtree)
+            else:
+                res = evaluate_posterior_stochastic(vlogits, vtree,
+                                                    sampling, k1)
+            new_root_tok = sample_token(k2, res.sample_p, sampling,
+                                        is_probs=True)
+            n_acc = res.accept_len + 1
+            info = compute_pruning_info(c.tree, res.best_leaf, n_acc,
+                                        new_root_tok)
+            truncate = info.truncate | force
+            if not do_inflight_verdict:
+                # naive/serial/ar: single verdict per round, always re-draft
+                truncate = jnp.asarray(True)
+
+            # commit accepted tokens
+            path = c.tree.retrieve[res.best_leaf]
+            d_idx = jnp.arange(d_cap, dtype=jnp.int32)
+            pv = d_idx < n_acc
+            safe_path = jnp.clip(path, 0, n_cap - 1)
+            acc_tokens = jnp.where(pv, c.tree.tokens[safe_path], 0)
+            wpos = jnp.where(pv, c.n_out + d_idx, out_cap)
+            out_tokens = c.out_tokens.at[wpos].set(acc_tokens, mode="drop")
+            n_out = c.n_out + n_acc
+            eos_hit = jnp.any(pv & (acc_tokens == eos_id) & (eos_id >= 0))
+            over_budget = n_out >= budget
+            truncate = truncate | eos_hit | over_budget
+
+            # ---- per-stage kv compaction ----
+            pos_cap = n_cap + d_cap
+            src, n_src = kv_keep_positions(info, c.commit, c.kv_tree_len,
+                                           pos_cap)
+            # on truncate keep only the accepted path
+            n_src = jnp.where(truncate, n_acc, n_src)
+            kv = c.kv.compact(src, n_src, c.commit)
+            kept_in_my_kv = jnp.sum(
+                (info.kept_old_ids >= 0) &
+                (info.kept_old_ids < c.kv_tree_len)).astype(jnp.int32)
+            kv_tree_len = jnp.where(truncate, 0, kept_in_my_kv)
+
+            # ---- replicated: prune tree + remap buffers ----
+            new_tree = prune_tree(c.tree, info)
+            old2new = jnp.full((n_cap,), -1, jnp.int32)
+            kk = jnp.clip(info.kept_old_ids, 0, n_cap - 1)
+            in_r = jnp.arange(n_cap, dtype=jnp.int32) < info.n_kept
+            old2new = old2new.at[kk].set(
+                jnp.where(in_r, jnp.arange(n_cap, dtype=jnp.int32), -1))
+
+            gather_src = jnp.clip(kk, 0, n_cap - 1)
+            vhid2 = jnp.where(in_r[:, None], vhidden[gather_src], 0)
+            vlog2 = jnp.where(in_r[:, None], vlogits[gather_src], 0.0)
+            verified2 = jnp.sum(
+                in_r & (info.kept_old_ids < verified)).astype(jnp.int32)
+
+            # Rebucket remaining chunk lengths: lens chunk q covers old node
+            # ids [verified + cum_{q-1}, verified + cum_q), so shift kept ids
+            # down by `verified` before bucketing.
+            shifted = jnp.where(info.kept_old_ids >= 0,
+                                info.kept_old_ids - verified, -1)
+            lens2 = rebucket_lengths(lens, shifted, info.n_kept)
+            commit2 = c.commit + n_acc
+
+            # ---- in-flight chunk pruning (per stage) ----
+            def remap_flight(fl: Flight) -> Flight:
+                ids = fl.start + jnp.arange(c_buf, dtype=jnp.int32)
+                ok = (jnp.arange(c_buf) < fl.n)
+                nid = jnp.where(ok, old2new[jnp.clip(ids, 0, n_cap - 1)], -1)
+                keep_row = nid >= 0
+                order = jnp.argsort(~keep_row, stable=True)
+                h2 = fl.h[order]
+                nid2 = nid[order]
+                n2 = jnp.sum(keep_row).astype(jnp.int32)
+                start2 = jnp.where(n2 > 0, nid2[0], 0)
+                return Flight(h=h2, start=start2, n=jnp.where(truncate, 0, n2))
+
+            inc2 = remap_flight(inc)
+
+            # ---- draft pairs: accepted + new root ----
+            shifted_tok = jnp.roll(acc_tokens, -1)
+            pair_tok = jnp.where(d_idx + 1 < n_acc, shifted_tok, 0)
+            pair_tok = jnp.where(d_idx + 1 == n_acc, new_root_tok, pair_tok)
+            pair_tok = jnp.where(d_idx < n_acc, pair_tok, 0)
+            # hiddens of accepted nodes (all verified)
+            ph = vhidden[jnp.clip(safe_path, 0, n_cap - 1)]
+            ph = jnp.where(pv[:, None], ph, 0).astype(dt)
+            pair_tok_p = jnp.zeros((ctx,), jnp.int32).at[:d_cap].set(pair_tok)
+            pair_hid_p = jnp.zeros((1, ctx, h_dim), dt).at[0, :d_cap].set(ph)
+
+            # ---- drain pairs (+ expansion) — skipped on truncate so the
+            # pairs stay pending for the next round's initial draft ----
+            def with_expand(args):
+                (dcache, tree2_in, lens_in, n_chunks_in) = args
+                d_out2, dc2 = draft_context_forward(
+                    draft, dcache, pair_tok_p, pair_hid_p, dcache.length,
+                    n_acc, mc)
+                rh = d_out2[0, jnp.clip(n_acc - 1, 0, ctx - 1)]
+                fresh, _, dc2 = topk_generate(
+                    draft, params.lm_head, dc2, new_root_tok, rh, tc, mc,
+                    num_select=tc.chunk_len, depth=tc.expand_depth,
+                    max_levels=max_levels)
+                mr = merge_trees(tree2_in, fresh)
+                can_queue = (n_chunks_in < s_cap) & (mr.n_appended > 0)
+                lens3 = jnp.where(
+                    can_queue,
+                    lens_in.at[jnp.clip(n_chunks_in, 0, s_cap - 1)].set(
+                        mr.n_appended),
+                    lens_in)
+                nch3 = jnp.where(can_queue, n_chunks_in + 1, n_chunks_in)
+                t3 = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(can_queue, a, b), mr.tree,
+                    tree2_in)
+                return dc2, t3, lens3, nch3
+
+            def drain_only(args):
+                (dcache, tree2_in, lens_in, n_chunks_in) = args
+                _, dc2 = draft_context_forward(
+                    draft, dcache, pair_tok_p, pair_hid_p, dcache.length,
+                    n_acc, mc)
+                return dc2, tree2_in, lens_in, n_chunks_in
+
+            def no_drain(args):
+                return args
+
+            args = (c.draft_cache, new_tree, lens2,
+                    jnp.maximum(n_chunks, 0))
+            live_fn = with_expand if do_expand else drain_only
+            dcache2, tree3, lens3, nch3 = jax.lax.cond(
+                truncate, no_drain, live_fn, args)
+            vh3, vl3, vc3 = vhid2, vlog2, verified2
+
+            # pending pairs for next round (only meaningful on truncate)
+            return c._replace(
+                tree=tree3, lens=lens3, n_chunks=nch3,
+                next_inject=jnp.maximum(next_inject, 0),
+                verified=vc3, commit=commit2, key=key, draft_cache=dcache2,
+                vhidden=vh3, vlogits=vl3,
+                out_tokens=out_tokens, n_out=n_out,
+                truncate=truncate, sampled_root=new_root_tok,
+                pend_tok=pair_tok_p, pend_hid=pair_hid_p,
+                pend_n=jnp.where(truncate, n_acc, jnp.zeros((), jnp.int32)),
+                kv=kv, kv_tree_len=kv_tree_len,
+                out=c.out), inc2
+
+        def skip_branch(c, lens, n_chunks, next_inject, verified, vhidden,
+                        vlogits):
+            c2 = c._replace(lens=lens, n_chunks=n_chunks,
+                            next_inject=next_inject, verified=verified,
+                            vhidden=vhidden, vlogits=vlogits)
+            return c2, inc
+
+        c2, inc2 = jax.lax.cond(
+            do_verdict, verdict_branch, skip_branch,
+            c, lens, n_chunks, next_inject, verified, vhidden, vlogits)
+
+        # ---- set my in-flight chunk: stage 0 injects, others take ring ----
+        cum = jnp.cumsum(c2.lens)
+        q = jnp.clip(c2.next_inject, 0, s_cap - 1)
+        inj_start = c2.verified + jnp.where(q > 0, cum[q - 1], 0)
+        inj_len = jnp.where(
+            (c2.next_inject >= 0) & (c2.next_inject < c2.n_chunks),
+            c2.lens[q], 0)
+        inj_ids = inj_start + jnp.arange(c_buf, dtype=jnp.int32)
+        inj_tok = jnp.where(jnp.arange(c_buf) < inj_len,
+                            c2.tree.tokens[jnp.clip(inj_ids, 0, n_cap - 1)], 0)
+        inj_h = embed_tokens(params, inj_tok[None])[0].astype(dt)
+        idx0 = idx == 0
+        my = Flight(
+            h=jnp.where(idx0, inj_h, inc2.h),
+            start=jnp.where(idx0, inj_start, inc2.start),
+            n=jnp.where(idx0, jnp.where(c2.truncate, 0, inj_len), inc2.n))
+        # next_inject is replicated state: all stages advance it identically.
+        # Zero-length entries are consumed too (they travel as empty flights).
+        next_inject2 = jnp.where(
+            (c2.next_inject < c2.n_chunks) & ~c2.truncate,
+            c2.next_inject + 1, c2.next_inject)
+
+        # ---- forward ----
+        def fwd(kv):
+            return _forward_chunk(params, kv, c2.tree, my, c2.commit, c_buf,
+                                  mc)
+        h_out, kv2 = jax.lax.cond(
+            (my.n > 0) & ~c2.truncate, fwd,
+            lambda kv: (jnp.zeros_like(my.h), kv), c2.kv)
+        out_fl = Flight(h=h_out, start=my.start,
+                        n=jnp.where(c2.truncate, 0, my.n))
+        kv_tree_len2 = jnp.where(
+            out_fl.n > 0, jnp.maximum(c2.kv_tree_len,
+                                      out_fl.start + out_fl.n),
+            c2.kv_tree_len)
+
+        # ---- aliveness ----
+        in_flight = jax.lax.psum(out_fl.n, "stage")
+        more_to_inject = next_inject2 < c2.n_chunks
+        unverified_left = c2.verified < c2.tree.n_nodes
+        alive = ~c2.truncate & (
+            (in_flight > 0) | more_to_inject | unverified_left)
+
+        return c2._replace(
+            next_inject=next_inject2,
+            turn=c.turn + 1,
+            alive=alive,
+            kv=kv2, kv_tree_len=kv_tree_len2,
+            out=out_fl)
+
+    final = jax.lax.while_loop(cond, body, carry)
+
+    # On rounds that end without a natural truncate (shouldn't happen given
+    # force_turn, but guard): keep the previous root.
+    new_root = jnp.where(final.truncate, final.sampled_root,
+                         state.root_token)
+    new_state = PipeState(
+        kv=final.kv.with_length(final.commit),
+        draft_cache=final.draft_cache,
+        commit_len=final.commit,
+        root_token=new_root,
+        pend_tok=final.pend_tok,
+        pend_hid=final.pend_hid,
+        pend_n=final.pend_n,
+        key=final.key)
+    return new_state, RoundOut(out_tokens=final.out_tokens,
+                               n_out=final.n_out, turns=final.turn)
