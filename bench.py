@@ -11,7 +11,8 @@ environment), which makes draft acceptance worst-case (~1 token/round);
 real EAGLE weights only raise tokens/s from here.
 
 Env knobs: BENCH_MODEL=7b|1b|tiny (default 7b), BENCH_TOKENS (default 128),
-BENCH_MODE=spec|ar (default spec).
+BENCH_MODE=spec|ar (default spec), BENCH_QUANT=none|int8|nf4 (default int8
+for 7b — the reference's headline distributed config is int8 weight-only).
 """
 
 import json
@@ -25,6 +26,8 @@ def main():
     model_kind = os.environ.get("BENCH_MODEL", "7b")
     n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
     mode = os.environ.get("BENCH_MODE", "spec")
+    quant = os.environ.get("BENCH_QUANT", "int8" if model_kind == "7b"
+                           else "none")
 
     import jax
     import jax.numpy as jnp
@@ -47,18 +50,56 @@ def main():
         mc = ModelConfig.tiny()
         max_seq = 512
 
-    tc = TreeConfig()  # reference defaults: 80 tokens / top-10 / depth-6
+    # reference tree defaults: 80 tokens / top-10 / depth-6; node_cap sized
+    # to the single-chip engine's needs (fresh tree per round, no merge)
+    tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16)
     cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
                        max_new_tokens=n_tokens, max_seq_len=max_seq)
 
     key = jax.random.key(0)
-    params = init_llama_params(key, mc)
+    if quant != "none":
+        # Generate quantized weights directly (random-weight bench): avoids
+        # holding bf16 + quantized copies simultaneously, which OOMs at 7B.
+        from flowspec_tpu.models.llama import LlamaParams, LlamaLayerParams
+        from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor, NF4_BLOCK
+        h, i, v = mc.hidden_size, mc.intermediate_size, mc.vocab_size
+        L, d = mc.num_hidden_layers, mc.head_dim_
+        nq, nkv = mc.num_attention_heads, mc.num_key_value_heads
+        dt = jnp.dtype(mc.dtype)
+
+        def q_of(k, shape):
+            if quant == "int8":
+                q = jax.random.randint(k, shape, -127, 128, jnp.int8)
+                s = jnp.full(shape[:-2] + shape[-1:],
+                             (shape[-2] ** -0.5) / 127.0, jnp.float32)
+                return Int8Tensor(q=q, scale=s)
+            q = jax.random.randint(k, shape, 0, 16, jnp.uint8)
+            s = jnp.full(shape[:-2] + (shape[-2] // NF4_BLOCK,) + shape[-1:],
+                         shape[-2] ** -0.5, jnp.float32)
+            return NF4Tensor(q=q, scale=s)
+
+        ks = jax.random.split(jax.random.key(7), 10)
+        layers = LlamaLayerParams(
+            wq=q_of(ks[0], (L, h, nq * d)), wk=q_of(ks[1], (L, h, nkv * d)),
+            wv=q_of(ks[2], (L, h, nkv * d)), wo=q_of(ks[3], (L, nq * d, h)),
+            bq=jnp.zeros((L, nq * d), dt), bk=jnp.zeros((L, nkv * d), dt),
+            bv=jnp.zeros((L, nkv * d), dt),
+            w_gate=q_of(ks[4], (L, h, i)), w_up=q_of(ks[5], (L, h, i)),
+            w_down=q_of(ks[6], (L, i, h)),
+            input_ln=jnp.ones((L, h), dt), post_ln=jnp.ones((L, h), dt))
+        params = LlamaParams(
+            embed=jax.random.normal(ks[7], (v, h), dt) * 0.02,
+            layers=layers,
+            final_norm=jnp.ones((h,), dt),
+            lm_head=jax.random.normal(ks[8], (h, v), dt) * h ** -0.5)
+    else:
+        params = init_llama_params(key, mc)
     draft = init_eagle_params(jax.random.key(1), mc, embed=params.embed)
     eng = SpecEngine(params, draft, cfg)
 
     prompt = np.random.default_rng(0).integers(10, 1000, 64)
 
-    gen = eng.generate if mode == "spec" else eng.generate_ar
+    gen = eng.generate_fused if mode == "spec" else eng.generate_ar_fused
     # warmup (compile)
     gen(prompt, max_new_tokens=4, eos_token_id=-1)
 
@@ -69,8 +110,9 @@ def main():
     tps = toks / dt
 
     baseline = 8.70   # FlowSpec LLaMA2-7B greedy mean, BASELINE.md
+    qtag = "" if quant == "none" else f"_{quant}"
     print(json.dumps({
-        "metric": f"output_tokens_per_s_{model_kind}_{mode}_greedy",
+        "metric": f"output_tokens_per_s_{model_kind}{qtag}_{mode}_greedy",
         "value": round(tps, 3),
         "unit": "tokens/s",
         "vs_baseline": round(tps / baseline, 3),

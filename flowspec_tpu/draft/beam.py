@@ -77,7 +77,8 @@ def _beam_step(p: EagleParams, head: jax.Array, cache_k, cache_v,
     out = out[0]                                                  # (K, H)
 
     # --- candidates: per-row top-k next tokens with cumulative scores
-    logits = out.astype(jnp.float32) @ head.astype(jnp.float32)   # (K, V)
+    logits = jnp.einsum("kh,hv->kv", out, head,
+                        preferred_element_type=jnp.float32)           # (K, V)
     logp = jax.nn.log_softmax(logits, axis=-1)
     row_logp, row_tok = jax.lax.top_k(logp, k_beam)               # (K, K)
     cu = row_logp + state.scores[:, None]                         # (K, K)
@@ -118,7 +119,8 @@ def _init_beam(p: EagleParams, head: jax.Array, root_hidden: jax.Array,
     (eagle/cnets.py:748-760)."""
     k_beam = tree_cfg.top_k
     m = k_beam + max_levels * k_beam * k_beam
-    logits = root_hidden.astype(jnp.float32) @ head.astype(jnp.float32)
+    logits = jnp.einsum("h,hv->v", root_hidden, head,
+                        preferred_element_type=jnp.float32)
     logp = jax.nn.log_softmax(logits)
     sc, tok = jax.lax.top_k(logp, k_beam)
 

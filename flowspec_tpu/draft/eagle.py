@@ -105,13 +105,12 @@ def init_eagle_params(key: jax.Array, cfg: ModelConfig,
     ks = jax.random.split(key, 10)
 
     def init(k, shape):
-        return (jax.random.normal(k, shape, jnp.float32)
-                * shape[0] ** -0.5).astype(dtype)
+        return jax.random.normal(k, shape, dtype) * jnp.asarray(
+            shape[0] ** -0.5, dtype)
 
     return EagleParams(
         embed=embed if embed is not None else (
-            jax.random.normal(ks[0], (v, h), jnp.float32) * 0.02
-        ).astype(dtype),
+            jax.random.normal(ks[0], (v, h), dtype) * jnp.asarray(0.02, dtype)),
         fc_w=init(ks[1], (2 * h, h)),
         fc_b=jnp.zeros((h,), dtype),
         wq=init(ks[2], (h, nq * d)),

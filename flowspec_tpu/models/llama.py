@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from flowspec_tpu.config import ModelConfig
 from flowspec_tpu.models.kv_cache import KVCache
+from flowspec_tpu.ops.quant import qmatmul, quantize_int8, quantize_nf4
 
 
 @jax.tree_util.register_dataclass
@@ -96,9 +97,9 @@ def decoder_layer(x, lp, k_cache, v_cache, positions, bias, write_start,
 
     res = x
     x = rms_norm(x, lp.input_ln, cfg.rms_norm_eps)
-    q = (x @ lp.wq + lp.bq).reshape(b, t, nq, d).transpose(0, 2, 1, 3)
-    k = (x @ lp.wk + lp.bk).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
-    v = (x @ lp.wv + lp.bv).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
+    q = (qmatmul(x, lp.wq) + lp.bq).reshape(b, t, nq, d).transpose(0, 2, 1, 3)
+    k = (qmatmul(x, lp.wk) + lp.bk).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
+    v = (qmatmul(x, lp.wv) + lp.bv).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
@@ -109,11 +110,12 @@ def decoder_layer(x, lp, k_cache, v_cache, positions, bias, write_start,
 
     attn = attention(q, k_cache, v_cache, bias, nq // nkv)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
-    x = res + attn @ lp.wo
+    x = res + qmatmul(attn, lp.wo)
 
     res = x
     x = rms_norm(x, lp.post_ln, cfg.rms_norm_eps)
-    x = res + (jax.nn.silu(x @ lp.w_gate) * (x @ lp.w_up)) @ lp.w_down
+    x = res + qmatmul(jax.nn.silu(qmatmul(x, lp.w_gate)) * qmatmul(x, lp.w_up),
+                      lp.w_down)
     return x, k_cache, v_cache
 
 
@@ -153,9 +155,10 @@ def embed_tokens(params: LlamaParams, tokens: jax.Array) -> jax.Array:
 
 
 def lm_head_logits(params: LlamaParams, hidden: jax.Array) -> jax.Array:
-    """(..., H) -> (..., V) in float32."""
-    return (hidden.astype(jnp.float32) @
-            params.lm_head.astype(jnp.float32))
+    """(..., H) -> (..., V), fp32 accumulation without materializing an fp32
+    copy of the (H, V) weight (matters at 7B: the copy alone is ~0.5GB)."""
+    return jnp.einsum("...h,hv->...v", hidden, params.lm_head,
+                      preferred_element_type=jnp.float32)
 
 
 def init_llama_params(key: jax.Array, cfg: ModelConfig,
@@ -171,7 +174,9 @@ def init_llama_params(key: jax.Array, cfg: ModelConfig,
 
     def init(k, shape, scale=None):
         scale = scale if scale is not None else (shape[-2] ** -0.5 if len(shape) > 1 else 1.0)
-        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+        # generate directly in the target dtype — at 7B an fp32 staging copy
+        # of the largest leaves is multi-GB
+        return jax.random.normal(k, shape, dtype) * jnp.asarray(scale, dtype)
 
     layers = LlamaLayerParams(
         wq=init(ks[0], (l, h, nq * d)),
@@ -193,3 +198,19 @@ def init_llama_params(key: jax.Array, cfg: ModelConfig,
         final_norm=jnp.ones((h,), dtype),
         lm_head=init(ks[8], (h, v)),
     )
+
+
+QUANT_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_llama_params(params: LlamaParams, kind: str) -> LlamaParams:
+    """Weight-only quantize the decoder matmuls (ref: bitsandbytes int8/nf4
+    via BitsAndBytesConfig, config/run_config.py:69-75). Embeddings, lm_head,
+    norms and biases stay in the working dtype, matching HF's bnb behavior.
+    Stacked (L, In, Out) leaves quantize per layer along the leading axis."""
+    assert kind in ("int8", "nf4")
+    fn = quantize_int8 if kind == "int8" else quantize_nf4
+    lp = params.layers
+    lp = dataclasses.replace(lp, **{f: fn(getattr(lp, f))
+                                    for f in QUANT_FIELDS})
+    return dataclasses.replace(params, layers=lp)

@@ -1,0 +1,154 @@
+"""Weight-only quantization containers + reference dequant paths.
+
+Replaces the reference's bitsandbytes usage (`BitsAndBytesConfig` built in
+config/run_config.py:69-75, threaded through HF from_pretrained in
+stage_ea_model.py:170-172): int8 per-output-channel absmax, and NF4 blockwise
+(block 64 along the contraction dim) with the bitsandbytes NF4 codebook.
+
+`qmatmul` is the single entry point the model layer calls; it dispatches on
+weight type and (on TPU) onto the fused Pallas dequant-matmul kernels in
+ops/quant_matmul.py; elsewhere it uses an XLA dequant-then-matmul that is
+bit-identical to the kernel's math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# bitsandbytes NF4 code values (functional.py `create_normal_map` output),
+# the 16 quantiles of a standard normal scaled to [-1, 1].
+NF4_CODE = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0], dtype=np.float32)
+
+NF4_BLOCK = 64
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Int8Tensor:
+    """w ~= q * scale[..., None, :] — per-output-channel absmax.
+
+    q (..., In, Out) int8; scale (..., Out) float32.
+    """
+    q: jax.Array
+    scale: jax.Array
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def in_features(self):
+        return self.q.shape[-2]
+
+    @property
+    def out_features(self):
+        return self.q.shape[-1]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NF4Tensor:
+    """w ~= code[q] * scale[block] — blockwise absmax over NF4_BLOCK rows of
+    the contraction dim.
+
+    q (..., In, Out) uint8 holding values 0..15 (unpacked layout — TPU has no
+    sub-byte memory wins for compute; HBM savings come from the int8/uint8
+    container and the fused kernel); scale (..., In // 64, Out) float32.
+    """
+    q: jax.Array
+    scale: jax.Array
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def in_features(self):
+        return self.q.shape[-2]
+
+    @property
+    def out_features(self):
+        return self.q.shape[-1]
+
+
+def quantize_int8(w: jax.Array) -> Int8Tensor:
+    """(..., In, Out) -> per-out-channel symmetric int8."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)     # (..., 1, Out)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return Int8Tensor(q=q, scale=scale.squeeze(-2))
+
+
+def quantize_nf4(w: jax.Array, block: int = NF4_BLOCK) -> NF4Tensor:
+    """(..., In, Out) -> blockwise NF4 (nearest codebook entry)."""
+    *lead, n_in, n_out = w.shape
+    assert n_in % block == 0, (n_in, block)
+    wf = w.astype(jnp.float32).reshape(*lead, n_in // block, block, n_out)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12)                # (..., blocks, 1, Out)
+    norm = wf / scale
+    code = jnp.asarray(NF4_CODE)
+    idx = jnp.argmin(
+        jnp.abs(norm[..., None] - code), axis=-1).astype(jnp.uint8)
+    return NF4Tensor(q=idx.reshape(*lead, n_in, n_out),
+                     scale=scale.squeeze(-2))
+
+
+def dequantize(w) -> jax.Array:
+    """Reference dequant (f32) — ground truth for the fused kernels."""
+    if isinstance(w, Int8Tensor):
+        return w.q.astype(jnp.float32) * w.scale[..., None, :]
+    if isinstance(w, NF4Tensor):
+        *lead, n_in, n_out = w.q.shape
+        blocks = w.scale.shape[-2]
+        code = jnp.asarray(NF4_CODE)
+        vals = code[w.q.astype(jnp.int32)]
+        vals = vals.reshape(*lead, blocks, n_in // blocks, n_out)
+        return (vals * w.scale[..., None, :]).reshape(*lead, n_in, n_out)
+    return jnp.asarray(w, jnp.float32)
+
+
+_USE_PALLAS = None
+
+
+def _use_pallas() -> bool:
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        try:
+            _USE_PALLAS = jax.default_backend() not in ("cpu",)
+        except Exception:
+            _USE_PALLAS = False
+    return _USE_PALLAS
+
+
+def qmatmul(x: jax.Array, w) -> jax.Array:
+    """x (..., In) @ w (In, Out) for plain or quantized weights.
+
+    Used inside lax.scan over stacked layers, so `w` leaves may carry a
+    leading layer axis already sliced away by the scan.
+    """
+    if isinstance(w, Int8Tensor):
+        if _use_pallas() and x.ndim == 3:
+            from flowspec_tpu.ops.quant_matmul import int8_matmul
+            return int8_matmul(x, w.q, w.scale)
+        y = jnp.einsum("...i,io->...o", x, w.q.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * w.scale).astype(x.dtype)
+    if isinstance(w, NF4Tensor):
+        if _use_pallas() and x.ndim == 3:
+            from flowspec_tpu.ops.quant_matmul import nf4_matmul
+            return nf4_matmul(x, w.q, w.scale)
+        wd = dequantize(w).astype(x.dtype)
+        return jnp.einsum("...i,io->...o", x, wd,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+    return x @ w

@@ -1,0 +1,154 @@
+"""Fused dequant + matmul Pallas TPU kernels (the bitsandbytes replacement).
+
+Decode-time matmuls are weight-bandwidth-bound: the win of weight-only
+quantization is reading 1 byte (int8/nf4 container) instead of 2 (bf16) per
+weight from HBM. These kernels stream quantized weight tiles into VMEM,
+dequantize on the VPU, and feed the MXU — the bf16 weight copy never exists
+in HBM.
+
+Shape regime: x is (B, T, In) with small T (chunk/beam/tree sized, <= a few
+hundred rows), so the whole activation fits VMEM and the kernel tiles only
+the output dimension — each grid step is one (T, In) x (In, BN) dot with a
+multi-MB weight tile, big enough that the weight DMA pipeline (double
+buffering across grid steps) hides behind the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flowspec_tpu.ops.quant import NF4_CODE, NF4_BLOCK
+
+BN = 512          # output tile (per grid step weight tile = In x BN bytes)
+
+
+def _tile(n, pref):
+    for d in (pref, 512, 256, 128, 64, 32, 16, 8):
+        if d <= pref and n % d == 0:
+            return d
+    return n
+
+
+def _pad_rows(x2, mult=16):
+    bt = x2.shape[0]
+    pad = (-bt) % mult
+    if pad:
+        x2 = jnp.concatenate(
+            [x2, jnp.zeros((pad, x2.shape[1]), x2.dtype)], axis=0)
+    return x2, bt
+
+
+def _int8_kernel(x_ref, q_ref, s_ref, o_ref):
+    w = q_ref[:].astype(x_ref.dtype)                  # (In, BN)
+    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@jax.jit
+def int8_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
+    """x (B, T, In) @ (q (In, Out) int8 * scale (Out,)) -> (B, T, Out)."""
+    b, t, n_in = x.shape
+    n_out = q.shape[-1]
+    x2, bt0 = _pad_rows(x.reshape(b * t, n_in))
+    bt = x2.shape[0]
+    bn = _tile(n_out, BN)
+
+    out = pl.pallas_call(
+        _int8_kernel,
+        grid=(n_out // bn,),
+        in_specs=[
+            pl.BlockSpec((bt, n_in), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in, bn), lambda n: (0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda n: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, bn), lambda n: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bt, n_out), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bt * n_in * n_out,
+            bytes_accessed=n_in * n_out + bt * n_in * 2 + bt * n_out * 2,
+            transcendentals=0),
+    )(x2, q, scale.reshape(1, n_out))
+    return out[:bt0].reshape(b, t, n_out)
+
+
+def _nf4_decode(q, dtype):
+    """uint8 codes 0..15 -> NF4 values via a 4-level select tree (no gather
+    on the TPU vector unit)."""
+    c = NF4_CODE
+    qi = q.astype(jnp.int32)
+    b0 = (qi & 1) != 0
+    b1 = (qi & 2) != 0
+    b2 = (qi & 4) != 0
+    b3 = (qi & 8) != 0
+    v01 = jnp.where(b0, c[1], c[0])
+    v23 = jnp.where(b0, c[3], c[2])
+    v45 = jnp.where(b0, c[5], c[4])
+    v67 = jnp.where(b0, c[7], c[6])
+    v89 = jnp.where(b0, c[9], c[8])
+    vab = jnp.where(b0, c[11], c[10])
+    vcd = jnp.where(b0, c[13], c[12])
+    vef = jnp.where(b0, c[15], c[14])
+    q0 = jnp.where(b1, v23, v01)
+    q1 = jnp.where(b1, v67, v45)
+    q2 = jnp.where(b1, vab, v89)
+    q3 = jnp.where(b1, vef, vcd)
+    h0 = jnp.where(b2, q1, q0)
+    h1 = jnp.where(b2, q3, q2)
+    return jnp.where(b3, h1, h0).astype(dtype)
+
+
+def _nf4_kernel(x_ref, q_ref, s_ref, o_ref, *, n_in):
+    # decode in bf16: an f32 intermediate of (In, BN) would blow VMEM at
+    # In ~ 11k (22MB); bf16 halves it and the MXU consumes bf16 anyway
+    vals = _nf4_decode(q_ref[:], jnp.bfloat16)        # (In, BN)
+    s = s_ref[:].astype(jnp.bfloat16)                 # (In // 64, BN)
+    blocks, bn_ = s.shape
+    # each block scale covers NF4_BLOCK consecutive contraction rows
+    s_rows = jnp.broadcast_to(
+        s[:, None, :], (blocks, NF4_BLOCK, bn_)).reshape(n_in, bn_)
+    w = (vals * s_rows).astype(x_ref.dtype)
+    o_ref[:] = jnp.dot(x_ref[:], w,
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@jax.jit
+def nf4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
+    """x (B, T, In) @ NF4(q (In, Out) u8, scale (In//64, Out)) -> (B, T, Out)."""
+    b, t, n_in = x.shape
+    n_out = q.shape[-1]
+    x2, bt0 = _pad_rows(x.reshape(b * t, n_in))
+    bt = x2.shape[0]
+    # VMEM budget: q tile (In x bn u8, double-buffered) + bf16 decode + x
+    budget_bn = max(128, (8 * 1024 * 1024) // (n_in * 4))
+    bn = _tile(n_out, min(BN, budget_bn))
+    assert n_in % NF4_BLOCK == 0, n_in
+
+    out = pl.pallas_call(
+        functools.partial(_nf4_kernel, n_in=n_in),
+        grid=(n_out // bn,),
+        in_specs=[
+            pl.BlockSpec((bt, n_in), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in, bn), lambda n: (0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in // NF4_BLOCK, bn), lambda n: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, bn), lambda n: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bt, n_out), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bt * n_in * n_out,
+            bytes_accessed=n_in * n_out + bt * n_in * 2 + bt * n_out * 2,
+            transcendentals=0),
+    )(x2, q, scale)
+    return out[:bt0].reshape(b, t, n_out)

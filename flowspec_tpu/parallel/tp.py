@@ -1,0 +1,132 @@
+"""Tensor-parallel verification path.
+
+Reference: the `tp/` package — `TPEaModel` (tp/tp_ea_model.py),
+Column/RowParallel layers (tp/tp_layers.py) and the "galaxy" sequence-sharded
+ring-overlap collectives (tp/tp_modeling_llama.py:611-758). The reference
+hand-writes isend/irecv rings inside every layer because gloo-over-Ethernet
+needs manual overlap; on a TPU mesh the idiomatic equivalent is GSPMD: weights
+carry megatron PartitionSpecs (qkv/gate/up column-sharded, o/down
+row-sharded, KV cache head-sharded, lm_head vocab-sharded) and XLA inserts +
+overlaps the all-reduces on ICI. The engine code is unchanged — TPEngine is
+SpecEngine with sharded placement.
+
+The galaxy mode's sequence-sharded ring all-gather/reduce-scatter overlap is
+what XLA's latency-hiding scheduler does for these collectives automatically;
+a manual Pallas ring variant is a later optimization target.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flowspec_tpu.config import EngineConfig
+from flowspec_tpu.draft.eagle import EagleParams
+from flowspec_tpu.models.kv_cache import KVCache
+from flowspec_tpu.models.llama import LlamaParams
+from flowspec_tpu.runtime.engine import SpecEngine
+
+
+def shard_params_tp(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+    """Megatron layout (ref tp/tp_split_and_save_models.py:61-72: chunk dim 0
+    for q/k/v/gate/up/embed/lm_head, dim 1 for o/down — HF stores (out, in),
+    ours are (in, out), so 'dim 0' becomes our last axis)."""
+    from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def put_w(w, kind):
+        """kind 'col' shards Out, 'row' shards In — handles quantized
+        containers (int8 scale follows Out; nf4 scale blocks follow In)."""
+        if isinstance(w, Int8Tensor):
+            if kind == "col":
+                return Int8Tensor(q=put(w.q, P(None, None, "tp")),
+                                  scale=put(w.scale, P(None, "tp")))
+            return Int8Tensor(q=put(w.q, P(None, "tp", None)),
+                              scale=put(w.scale, P()))
+        if isinstance(w, NF4Tensor):
+            if kind == "col":
+                return NF4Tensor(q=put(w.q, P(None, None, "tp")),
+                                 scale=put(w.scale, P(None, None, "tp")))
+            return NF4Tensor(q=put(w.q, P(None, "tp", None)),
+                             scale=put(w.scale, P(None, "tp", None)))
+        return put(w, P(None, None, "tp") if kind == "col"
+                   else P(None, "tp", None))
+
+    lp = params.layers
+    vec_col = P(None, "tp")
+    lp = dataclasses.replace(
+        lp,
+        wq=put_w(lp.wq, "col"), wk=put_w(lp.wk, "col"),
+        wv=put_w(lp.wv, "col"),
+        bq=put(lp.bq, vec_col), bk=put(lp.bk, vec_col), bv=put(lp.bv, vec_col),
+        wo=put_w(lp.wo, "row"),
+        w_gate=put_w(lp.w_gate, "col"), w_up=put_w(lp.w_up, "col"),
+        w_down=put_w(lp.w_down, "row"),
+        input_ln=put(lp.input_ln, P()), post_ln=put(lp.post_ln, P()),
+    )
+    return dataclasses.replace(
+        params, layers=lp,
+        embed=put(params.embed, P()),
+        final_norm=put(params.final_norm, P()),
+        lm_head=put(params.lm_head, P(None, "tp")),
+    )
+
+
+def shard_draft_tp(draft: EagleParams, mesh: Mesh) -> EagleParams:
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return dataclasses.replace(
+        draft,
+        embed=put(draft.embed, P()),
+        fc_w=put(draft.fc_w, P(None, "tp")), fc_b=put(draft.fc_b, P("tp")),
+        wq=put(draft.wq, P(None, "tp")), wk=put(draft.wk, P(None, "tp")),
+        wv=put(draft.wv, P(None, "tp")), wo=put(draft.wo, P("tp", None)),
+        w_gate=put(draft.w_gate, P(None, "tp")),
+        w_up=put(draft.w_up, P(None, "tp")),
+        w_down=put(draft.w_down, P("tp", None)),
+        post_ln=put(draft.post_ln, P()),
+    )
+
+
+class TPEngine(SpecEngine):
+    """SpecEngine with tensor-parallel weight/KV placement.
+
+    Mirrors tp_generate (tp/tp_ea_model.py:155-391): the draft tree is built
+    once (replicated compute), the whole tree is verified in a single
+    TP-sharded forward, acceptance + KV compaction as usual.
+    """
+
+    def __init__(self, params: LlamaParams, draft: EagleParams,
+                 cfg: EngineConfig, mesh: Mesh | None = None,
+                 tp: int | None = None):
+        if mesh is None:
+            tp = tp or min(4, len(jax.devices()))
+            mesh = Mesh(np.array(jax.devices()[:tp]), ("tp",))
+        self.mesh = mesh
+        tp_size = mesh.shape["tp"]
+        assert cfg.model.num_key_value_heads % tp_size == 0, \
+            "kv heads must divide tp"
+        params = shard_params_tp(params, mesh)
+        draft = shard_draft_tp(draft, mesh)
+        super().__init__(params, draft, cfg)
+
+    def init_state(self, seed: int = 0):
+        state = super().init_state(seed)
+        put = lambda x, spec: jax.device_put(
+            x, NamedSharding(self.mesh, spec))
+        head_sharded = P(None, None, "tp", None, None)
+        bc = state.base_cache
+        dc = state.draft_cache
+        return dataclasses.replace(
+            state,
+            base_cache=KVCache(k=put(bc.k, head_sharded),
+                               v=put(bc.v, head_sharded), length=bc.length),
+            draft_cache=KVCache(k=put(dc.k, head_sharded),
+                                v=put(dc.v, head_sharded), length=dc.length),
+        )

@@ -24,8 +24,9 @@ from flowspec_tpu.draft.beam import topk_generate
 from flowspec_tpu.draft.eagle import EagleParams, draft_context_forward
 from flowspec_tpu.models.bias import prefill_bias, tree_bias
 from flowspec_tpu.models.kv_cache import KVCache, init_kv_cache
+from flowspec_tpu.models import model_forward
 from flowspec_tpu.models.llama import (
-    LlamaParams, embed_tokens, final_hidden, llama_forward, lm_head_logits,
+    LlamaParams, embed_tokens, final_hidden, lm_head_logits,
 )
 from flowspec_tpu.tree.posterior import (
     evaluate_posterior_greedy, evaluate_posterior_stochastic,
@@ -74,6 +75,12 @@ class SpecEngine:
             _spec_round, cfg=mc, tree_cfg=tc, sampling=cfg.sampling))
         self._ar_step = jax.jit(functools.partial(
             _ar_step, cfg=mc, sampling=cfg.sampling))
+        self._spec_loop = jax.jit(functools.partial(
+            _spec_decode_loop, cfg=mc, tree_cfg=tc, sampling=cfg.sampling),
+            static_argnames=("max_out",))
+        self._ar_loop = jax.jit(functools.partial(
+            _ar_decode_loop, cfg=mc, sampling=cfg.sampling),
+            static_argnames=("max_out",))
 
     # ---- state setup -----------------------------------------------------
     def init_state(self, seed: int = 0) -> EngineState:
@@ -153,6 +160,44 @@ class SpecEngine:
         return out, {"new_tokens": new_tokens, "rounds": rounds,
                      "accept_per_round": new_tokens / max(rounds, 1)}
 
+    def generate_fused(self, prompt, max_new_tokens: Optional[int] = None,
+                       eos_token_id: int = 2, seed: int = 0):
+        """Like generate(), but the whole multi-round decode loop runs in ONE
+        device program (lax.while_loop over rounds) — no host round-trips.
+        This is the production path: per-round host dispatch costs one RPC
+        to the accelerator, which dominates at small round times."""
+        max_new = max_new_tokens or self.cfg.max_new_tokens
+        state = self.init_state(seed)
+        state = self.prefill(state, prompt)
+        out_buf, n_out, rounds = self._spec_loop(
+            state, self.params, self.draft,
+            jnp.asarray(eos_token_id, jnp.int32),
+            jnp.asarray(max_new, jnp.int32), max_out=int(max_new))
+        n = int(n_out)
+        toks = np.asarray(out_buf)[:n]
+        # trim past eos / budget like the reference's outer loop
+        out = list(np.asarray(prompt, np.int64))
+        new_tokens = 0
+        for t in toks:
+            out.append(int(t))
+            new_tokens += 1
+            if int(t) == eos_token_id or new_tokens >= max_new:
+                break
+        return out, {"new_tokens": new_tokens, "rounds": int(rounds),
+                     "accept_per_round": new_tokens / max(int(rounds), 1)}
+
+    def generate_ar_fused(self, prompt, max_new_tokens: Optional[int] = None,
+                          eos_token_id: int = 2, seed: int = 0):
+        max_new = max_new_tokens or self.cfg.max_new_tokens
+        state = self.init_state(seed)
+        state = self.prefill(state, prompt)
+        out_buf, n_out = self._ar_loop(
+            state, self.params, jnp.asarray(eos_token_id, jnp.int32),
+            max_out=int(max_new))
+        out = list(np.asarray(prompt, np.int64)) + \
+            [int(t) for t in np.asarray(out_buf)[:int(n_out)]]
+        return out, {"new_tokens": int(n_out)}
+
     def generate_ar(self, prompt, max_new_tokens: Optional[int] = None,
                     eos_token_id: int = 2, seed: int = 0):
         """Plain autoregressive baseline (ref `ar` schedule,
@@ -183,7 +228,7 @@ def _prefill_chunk(state: EngineState, params: LlamaParams,
     hidden = embed_tokens(params, tokens[None])
     bias = prefill_bias(start, c, s_max)
     positions = start + jnp.arange(c, dtype=jnp.int32)
-    out, cache = llama_forward(params, state.base_cache, hidden, positions,
+    out, cache = model_forward(params, state.base_cache, hidden, positions,
                                bias, start, cfg)
     cache = cache.with_length(start + n_valid)
     normed = final_hidden(params, out, cfg)
@@ -229,6 +274,17 @@ def _pad_rows(h, n):
     return jnp.concatenate([h, jnp.zeros((b, n - c, d), h.dtype)], axis=1)
 
 
+def _pin_param_layouts(params):
+    """No-op hook. XLA's layout assignment materializes transposed copies of
+    the attention weights for the wide tree-verify matmul (~3GB at 7B bf16).
+    Layout constraints via jax.experimental.layout did not suppress the
+    copies inside the decode while-loop; the working mitigations are int8/nf4
+    weights (quantization halves both weights and copies) and right-sizing
+    node_cap. Proper AOT layout negotiation is a follow-up.
+    """
+    return params
+
+
 def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
                 *, cfg: ModelConfig, tree_cfg: TreeConfig,
                 sampling: SamplingConfig):
@@ -253,7 +309,7 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
     toks = jnp.where(tree.tokens >= 0, tree.tokens, 0)
     hidden = embed_tokens(params, toks[None])
     positions = commit + tree.depth
-    b_out, bcache = llama_forward(params, state.base_cache, hidden, positions,
+    b_out, bcache = model_forward(params, state.base_cache, hidden, positions,
                                   bias, commit, cfg)
     normed = final_hidden(params, b_out, cfg)          # (1, N, H)
     node_logits = lm_head_logits(params, normed[0])    # (N, V) f32
@@ -302,6 +358,58 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
     return new_state, RoundResult(accepted=accepted_tokens, n_accepted=n_acc)
 
 
+def _spec_decode_loop(state: EngineState, params: LlamaParams,
+                      draft: EagleParams, eos_id, budget, *, max_out: int,
+                      cfg: ModelConfig, tree_cfg: TreeConfig,
+                      sampling: SamplingConfig):
+    """On-device multi-round loop: while tokens remain, run _spec_round and
+    append its accepted tokens to a fixed buffer."""
+    d_cap = tree_cfg.depth_cap
+    buf_cap = max_out + d_cap + 1   # one round may overshoot by <= d_cap
+
+    def cond(carry):
+        _, out, n_out, done, rounds = carry
+        return ~done & (n_out < budget)
+
+    def body(carry):
+        st, out, n_out, done, rounds = carry
+        st2, res = _spec_round(st, params, draft, cfg=cfg, tree_cfg=tree_cfg,
+                               sampling=sampling)
+        d_idx = jnp.arange(d_cap, dtype=jnp.int32)
+        pv = d_idx < res.n_accepted
+        wpos = jnp.where(pv, n_out + d_idx, buf_cap)
+        out2 = out.at[wpos].set(jnp.where(pv, res.accepted, 0), mode="drop")
+        n2 = n_out + res.n_accepted
+        eos_hit = jnp.any(pv & (res.accepted == eos_id) & (eos_id >= 0))
+        return st2, out2, n2, done | eos_hit, rounds + 1
+
+    init = (state, jnp.zeros((buf_cap,), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.asarray(False),
+            jnp.zeros((), jnp.int32))
+    _, out, n_out, _, rounds = jax.lax.while_loop(cond, body, init)
+    return out, n_out, rounds
+
+
+def _ar_decode_loop(state: EngineState, params: LlamaParams, eos_id, *,
+                    max_out: int, cfg: ModelConfig,
+                    sampling: SamplingConfig):
+    def cond(carry):
+        _, _, n_out, done = carry
+        return ~done & (n_out < max_out)
+
+    def body(carry):
+        st, out, n_out, done = carry
+        tok = st.root_token
+        out2 = out.at[n_out].set(tok)
+        st2, nxt = _ar_step(st, params, cfg=cfg, sampling=sampling)
+        return st2, out2, n_out + 1, done | ((tok == eos_id) & (eos_id >= 0))
+
+    init = (state, jnp.zeros((max_out,), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.asarray(False))
+    _, out, n_out, _ = jax.lax.while_loop(cond, body, init)
+    return out, n_out
+
+
 def _ar_step(state: EngineState, params: LlamaParams, *, cfg: ModelConfig,
              sampling: SamplingConfig):
     """Decode one token autoregressively (baseline)."""
@@ -309,7 +417,7 @@ def _ar_step(state: EngineState, params: LlamaParams, *, cfg: ModelConfig,
     commit = state.commit_len
     hidden = embed_tokens(params, state.root_token[None][None])
     bias = prefill_bias(commit, 1, s_max)
-    out, cache = llama_forward(params, state.base_cache, hidden,
+    out, cache = model_forward(params, state.base_cache, hidden,
                                commit[None], bias, commit, cfg)
     cache = cache.with_length(commit + 1)
     logits = lm_head_logits(params, final_hidden(params, out, cfg))[0, 0]

@@ -1,0 +1,101 @@
+"""Named-span profiler with a cumulative timestamp stream.
+
+Reference: profiler/profiler.py — named start/stop timers with optional
+device sync, context managers, and a per-run cumulative timestamp stream
+(every event name + perf_counter appended, :33-43) pickled to records/*.rec
+for pipeline-bubble analysis. Here: same concepts, JSON output, and a hook
+into jax.profiler for XLA-level traces (the TPU equivalent of their CUDA
+event timing, stage_ea_model.py:469-472).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+from typing import Optional
+
+import jax
+
+
+class Profiler:
+    def __init__(self, sync: bool = True):
+        self.sync = sync
+        self.totals = defaultdict(float)
+        self.counts = defaultdict(int)
+        self.stream: list[tuple[str, float]] = []   # (event, t) timestamps
+        self._t0 = time.perf_counter()
+        self._open: dict[str, float] = {}
+
+    def _now(self) -> float:
+        return time.perf_counter() - self._t0
+
+    def _maybe_sync(self, x=None):
+        if self.sync:
+            if x is not None:
+                jax.block_until_ready(x)
+            else:
+                # effectively a device fence: a trivial transfer
+                jax.device_get(jax.numpy.zeros(()))
+
+    def start(self, name: str, sync_on=None):
+        self._maybe_sync(sync_on)
+        t = self._now()
+        self._open[name] = t
+        self.stream.append((f"{name}:start", t))
+
+    def stop(self, name: str, sync_on=None):
+        self._maybe_sync(sync_on)
+        t = self._now()
+        self.stream.append((f"{name}:stop", t))
+        if name in self._open:
+            self.totals[name] += t - self._open.pop(name)
+            self.counts[name] += 1
+
+    @contextlib.contextmanager
+    def time_context(self, name: str, sync_on=None):
+        """Ref: prof.time_context(...) guards saturating the pipeline code
+        (e.g. stage_ea_model.py:1135,1154)."""
+        self.start(name)
+        try:
+            yield
+        finally:
+            self.stop(name, sync_on=sync_on)
+
+    def mark(self, name: str):
+        """Append a bare event to the timestamp stream."""
+        self.stream.append((name, self._now()))
+
+    @contextlib.contextmanager
+    def trace(self, log_dir: str):
+        """XLA-level trace via jax.profiler (TensorBoard-compatible)."""
+        jax.profiler.start_trace(log_dir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+
+    def summary(self) -> dict:
+        return {name: {"total_s": round(self.totals[name], 6),
+                       "count": self.counts[name],
+                       "mean_ms": round(1e3 * self.totals[name]
+                                        / max(self.counts[name], 1), 3)}
+                for name in sorted(self.totals)}
+
+    def save(self, path: str):
+        """Ref: save_as -> records/*.rec (profiler/profiler.py:14-16)."""
+        with open(path, "w") as f:
+            json.dump({"summary": self.summary(), "stream": self.stream}, f)
+
+    def reset(self):
+        self.totals.clear()
+        self.counts.clear()
+        self.stream.clear()
+        self._open.clear()
+        self._t0 = time.perf_counter()
+
+
+# Module singleton mirroring the reference's `prof` (profiler/profiler.py:275)
+# but opt-in: callers pass it explicitly; this instance is a convenience.
+prof = Profiler(sync=False)
