@@ -100,8 +100,10 @@ def main():
     prompt = np.random.default_rng(0).integers(10, 1000, 64)
 
     gen = eng.generate_fused if mode == "spec" else eng.generate_ar_fused
-    # warmup (compile)
-    gen(prompt, max_new_tokens=4, eos_token_id=-1)
+    # warmup with the SAME token budget: max_out is a static argument of the
+    # fused decode loop, so a different budget would recompile in the timed
+    # region below
+    gen(prompt, max_new_tokens=n_tokens, eos_token_id=-1)
 
     t0 = time.perf_counter()
     out, stats = gen(prompt, max_new_tokens=n_tokens, eos_token_id=-1)

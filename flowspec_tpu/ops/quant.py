@@ -124,10 +124,14 @@ _USE_PALLAS = None
 def _use_pallas() -> bool:
     global _USE_PALLAS
     if _USE_PALLAS is None:
-        try:
-            _USE_PALLAS = jax.default_backend() not in ("cpu",)
-        except Exception:
+        import os
+        if os.environ.get("FLOWSPEC_NO_PALLAS"):
             _USE_PALLAS = False
+        else:
+            try:
+                _USE_PALLAS = jax.default_backend() not in ("cpu",)
+            except Exception:
+                _USE_PALLAS = False
     return _USE_PALLAS
 
 

@@ -31,6 +31,7 @@ Schedules (ref stage_ea_model.py):
   continuous — pruned + per-turn tree expansion & merge        (:1058-1446)
   serial     — naive with one whole-tree chunk                 (:603-701)
   ar         — degenerate 1-node tree                          (:558-601)
+  pipedec    — depth-synchronous one-level-per-turn growth     (:1448-1791)
 """
 
 from __future__ import annotations
@@ -46,7 +47,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flowspec_tpu.config import EngineConfig
 from flowspec_tpu.draft.beam import topk_generate
-from flowspec_tpu.draft.eagle import EagleParams, draft_context_forward
+from flowspec_tpu.draft.eagle import (
+    EagleParams, draft_context_forward, eagle_layer, fuse,
+)
+from flowspec_tpu.tree.build import finalize_tree
 from flowspec_tpu.models.bias import prefill_bias, tree_bias
 from flowspec_tpu.models.kv_cache import KVCache, init_kv_cache
 from flowspec_tpu.models.llama import (
@@ -121,6 +125,8 @@ class _Carry(NamedTuple):
     draft_cache: KVCache
     vhidden: jax.Array       # (N, H) post-norm hidden of verified nodes
     vlogits: jax.Array       # (N, V) float32
+    dhidden: jax.Array       # (N, H) draft-layer output hidden per node (pipedec)
+    dh_valid: jax.Array      # (N,) bool — dhidden[i] computed
     out_tokens: jax.Array    # (OUT,) committed this round
     n_out: jax.Array
     truncate: jax.Array      # bool
@@ -142,7 +148,8 @@ class PipelineEngine:
     def __init__(self, params: LlamaParams, draft: EagleParams,
                  cfg: EngineConfig, mesh: Mesh | None = None,
                  schedule: str = "continuous"):
-        assert schedule in ("naive", "pruned", "continuous", "serial", "ar")
+        assert schedule in ("naive", "pruned", "continuous", "serial", "ar",
+                            "pipedec")
         self.cfg = cfg
         self.schedule = schedule
         mc, tc = cfg.model, cfg.tree
@@ -429,18 +436,27 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
     h_dim = params.embed.shape[1]
     dt = state.pend_hid.dtype
     ctx = state.pend_tok.shape[0]
-    do_inflight_verdict = schedule in ("pruned", "continuous")
+    do_inflight_verdict = schedule in ("pruned", "continuous", "pipedec")
     do_expand = schedule == "continuous"
+    pipedec = schedule == "pipedec"
 
     # ---- 1. draft the initial tree (replicated) ----
     d_out, dcache = draft_context_forward(
         draft, state.draft_cache, state.pend_tok, state.pend_hid,
         state.draft_cache.length, state.pend_n, mc)
     root_hidden = d_out[0, jnp.clip(state.pend_n - 1, 0, ctx - 1)]
-    tree, _, dcache = topk_generate(
-        draft, params.lm_head, dcache, state.root_token, root_hidden,
-        tc, mc, num_select=0 if schedule == "ar" else None,
-        max_levels=max_levels)
+    if pipedec:
+        # depth-synchronous growth: start with a single level (ref
+        # draft_init_pipedec, stage_ea_model.py:254-366 grows one level per
+        # turn; here the expansion block adds levels in-loop)
+        tree, _, dcache = topk_generate(
+            draft, params.lm_head, dcache, state.root_token, root_hidden,
+            tc, mc, num_select=tc.top_k, depth=0, max_levels=max_levels)
+    else:
+        tree, _, dcache = topk_generate(
+            draft, params.lm_head, dcache, state.root_token, root_hidden,
+            tc, mc, num_select=0 if schedule == "ar" else None,
+            max_levels=max_levels)
 
     if schedule == "serial":
         lens = jnp.zeros((s_cap,), jnp.int32).at[0].set(tree.n_nodes)
@@ -460,6 +476,9 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
         commit=state.commit_len, key=state.key, draft_cache=dcache,
         vhidden=jnp.zeros((n_cap, h_dim), dt),
         vlogits=jnp.zeros((n_cap, vocab), jnp.float32),
+        dhidden=jnp.zeros((n_cap, h_dim), dt).at[0].set(
+            root_hidden.astype(dt)),
+        dh_valid=jnp.zeros((n_cap,), jnp.bool_).at[0].set(True),
         out_tokens=jnp.zeros((out_cap,), jnp.int32),
         n_out=jnp.zeros((), jnp.int32),
         truncate=jnp.asarray(False),
@@ -569,6 +588,8 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
             gather_src = jnp.clip(kk, 0, n_cap - 1)
             vhid2 = jnp.where(in_r[:, None], vhidden[gather_src], 0)
             vlog2 = jnp.where(in_r[:, None], vlogits[gather_src], 0.0)
+            dhid2 = jnp.where(in_r[:, None], c.dhidden[gather_src], 0)
+            dhv2 = in_r & c.dh_valid[gather_src]
             verified2 = jnp.sum(
                 in_r & (info.kept_old_ids < verified)).astype(jnp.int32)
 
@@ -638,12 +659,28 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
                     n_acc, mc)
                 return dc2, tree2_in, lens_in, n_chunks_in
 
+            def pipedec_drain(args):
+                # The draft KV mirrors the base layout for pipedec: ctx pairs
+                # then tree nodes at dctx+node_id. Compact kept tree rows,
+                # then drain the accepted pairs (overwriting the accepted
+                # nodes' tree-drafted K/V with exact ctx-pair versions).
+                (dcache, tree2_in, lens_in, n_chunks_in) = args
+                dctx = dcache.length
+                dsrc, dn_src = kv_keep_positions(
+                    info, dctx, jnp.asarray(n_cap, jnp.int32), pos_cap)
+                dc2 = dcache.compact(dsrc, dn_src, dctx).with_length(dctx)
+                _, dc2 = draft_context_forward(
+                    draft, dc2, pair_tok_p, pair_hid_p, dc2.length,
+                    n_acc, mc)
+                return dc2, tree2_in, lens_in, n_chunks_in
+
             def no_drain(args):
                 return args
 
             args = (c.draft_cache, new_tree, lens2,
                     jnp.maximum(n_chunks, 0))
-            live_fn = with_expand if do_expand else drain_only
+            live_fn = (with_expand if do_expand
+                       else (pipedec_drain if pipedec else drain_only))
             dcache2, tree3, lens3, nch3 = jax.lax.cond(
                 truncate, no_drain, live_fn, args)
             vh3, vl3, vc3 = vhid2, vlog2, verified2
@@ -653,7 +690,7 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
                 tree=tree3, lens=lens3, n_chunks=nch3,
                 next_inject=jnp.maximum(next_inject, 0),
                 verified=vc3, commit=commit2, key=key, draft_cache=dcache2,
-                vhidden=vh3, vlogits=vl3,
+                vhidden=vh3, vlogits=vl3, dhidden=dhid2, dh_valid=dhv2,
                 out_tokens=out_tokens, n_out=n_out,
                 truncate=truncate, sampled_root=new_root_tok,
                 pend_tok=pair_tok_p, pend_hid=pair_hid_p,
@@ -671,6 +708,85 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
         c2, inc2 = jax.lax.cond(
             do_verdict, verdict_branch, skip_branch,
             c, lens, n_chunks, next_inject, verified, vhidden, vlogits)
+
+        if pipedec:
+            # ---- depth-synchronous expansion: grow ONE level per turn ----
+            # (ref Model.expand_pipedec, eagle/cnets.py:1711-1957 — there by
+            # re-embedding the pruned tree each turn; here the per-node draft
+            # hiddens persist in `dhidden` and only the frontier is forwarded)
+            k_pd = tc.top_k
+
+            def pd_expand(c2):
+                t = c2.tree
+                dc = c2.draft_cache
+                valid = t.valid()
+                maxd = jnp.max(jnp.where(valid, t.depth, 0))
+                isf = valid & (t.depth == maxd)
+                n_f = jnp.sum(isf).astype(jnp.int32)
+                # frontier == trailing contiguous id block (levels stay
+                # id-ordered: BFS build + order-preserving prune/append)
+                f_start = t.n_nodes - n_f
+                fi = jnp.arange(k_pd, dtype=jnp.int32)
+                f_ids = f_start + fi
+                fv = fi < n_f
+                sf = jnp.clip(f_ids, 0, n_cap - 1)
+                dctx = dc.length
+
+                par = t.parents[sf]
+                par_h = c2.dhidden[jnp.clip(par, 0, n_cap - 1)]
+                x = fuse(draft, t.tokens[sf][None],
+                         par_h[None].astype(c2.dhidden.dtype))
+                positions = dctx + jnp.maximum(t.depth[sf] - 1, 0)
+                s_draft = dc.max_len
+                jd = jnp.arange(s_draft, dtype=jnp.int32)[None, :]
+                anc = ancestor_matrix(t.parents, t.depth_cap, valid)
+                rowsb = anc[sf] & fv[:, None]
+                tree_col = jnp.clip(jd - dctx, 0, n_cap - 1)
+                tree_ok = jnp.take_along_axis(
+                    rowsb, jnp.broadcast_to(tree_col, (k_pd, s_draft)),
+                    axis=1)
+                okb = jnp.where(jd < dctx, True, tree_ok)
+                biasb = jnp.where(okb, 0.0, NEG_INF).astype(jnp.float32)
+                out_h, dk, dv = eagle_layer(
+                    x, draft, dc.k[0], dc.v[0], positions, biasb,
+                    dctx + f_start, mc)
+                out_h = out_h[0]                              # (k_pd, H)
+                dh2 = c2.dhidden.at[jnp.where(fv, sf, n_cap)].set(
+                    out_h.astype(c2.dhidden.dtype), mode="drop")
+                dhv2 = c2.dh_valid.at[jnp.where(fv, sf, n_cap)].set(
+                    True, mode="drop")
+
+                logits = jnp.einsum("kh,hv->kv", out_h, params.lm_head,
+                                    preferred_element_type=jnp.float32)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                row_logp, row_tok = jax.lax.top_k(logp, k_pd)
+                cu = row_logp + jnp.where(fv, t.scores[sf], -jnp.inf)[:, None]
+                top_sc, sel = jax.lax.top_k(cu.reshape(-1), k_pd)
+                b = sel // k_pd
+                new_tok = row_tok.reshape(-1)[sel].astype(jnp.int32)
+                new_par = f_ids[b]
+                n0 = t.n_nodes
+                wpos = jnp.where(top_sc > -jnp.inf, n0 + fi, n_cap)
+                tokens2 = t.tokens.at[wpos].set(new_tok, mode="drop")
+                parents2 = t.parents.at[wpos].set(new_par, mode="drop")
+                scores2 = t.scores.at[wpos].set(top_sc, mode="drop")
+                n_new = jnp.sum(top_sc > -jnp.inf).astype(jnp.int32)
+                t2 = finalize_tree(tokens2, parents2, scores2, n0 + n_new,
+                                   t.leaf_cap, t.depth_cap)
+                lens_ = c2.lens.at[jnp.clip(c2.n_chunks, 0, s_cap - 1)].set(
+                    n_new)
+                return c2._replace(
+                    tree=t2, lens=lens_, n_chunks=c2.n_chunks + 1,
+                    dhidden=dh2, dh_valid=dhv2,
+                    draft_cache=KVCache(k=dk[None], v=dv[None], length=dctx))
+
+            t_ = c2.tree
+            maxd_ = jnp.max(jnp.where(t_.valid(), t_.depth, 0))
+            can_expand = (~c2.truncate &
+                          (t_.n_nodes + k_pd <= n_cap) &
+                          (maxd_ + 2 < d_cap) &
+                          (c2.n_chunks < s_cap))
+            c2 = jax.lax.cond(can_expand, pd_expand, lambda c_: c_, c2)
 
         # ---- set my in-flight chunk: stage 0 injects, others take ring ----
         cum = jnp.cumsum(c2.lens)

@@ -20,7 +20,8 @@ from flowspec_tpu.models.llama import init_llama_params
 from flowspec_tpu.parallel import PipelineEngine
 from flowspec_tpu.runtime import SpecEngine
 
-SCHEDULES = ["ar", "serial", "naive", "pruned", "continuous"]
+SCHEDULES = ["ar", "serial", "naive", "pruned", "continuous",
+             "pipedec"]
 
 
 def _cfg(vocab=12, temperature=0.0):
