@@ -1,0 +1,75 @@
+"""Parameter checkpoint save/load (incl. quantized weights).
+
+Replaces the reference's offline weight splitter workflow
+(tools/split_and_save_models.py, tp/tp_split_and_save_models.py): there is
+nothing to split per-stage here — sharding happens at load — but quantizing a
+7B+ model is worth doing once and persisting. Stores the pytree as a
+directory of .npy leaves plus a JSON manifest describing structure and
+quantized-container boundaries, so reload needs no torch/safetensors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowspec_tpu.models.llama import LlamaLayerParams, LlamaParams
+from flowspec_tpu.models.mixtral import MixtralLayerParams, MixtralParams
+from flowspec_tpu.draft.eagle import EagleParams
+from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor
+
+_CLASSES = {c.__name__: c for c in (
+    LlamaParams, LlamaLayerParams, MixtralParams, MixtralLayerParams,
+    EagleParams, Int8Tensor, NF4Tensor)}
+
+
+def _encode(obj, leaves, prefix):
+    if isinstance(obj, tuple(_CLASSES.values())):
+        fields = {}
+        for f in dataclasses.fields(obj):
+            fields[f.name] = _encode(getattr(obj, f.name), leaves,
+                                     f"{prefix}.{f.name}")
+        return {"__class__": type(obj).__name__, "fields": fields}
+    leaves[prefix] = np.asarray(obj)
+    return {"__leaf__": prefix}
+
+
+def _decode(node, load_leaf):
+    if "__leaf__" in node:
+        return jnp.asarray(load_leaf(node["__leaf__"]))
+    cls = _CLASSES[node["__class__"]]
+    return cls(**{k: _decode(v, load_leaf)
+                  for k, v in node["fields"].items()})
+
+
+def save_params(params, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    leaves: dict[str, np.ndarray] = {}
+    manifest = _encode(params, leaves, "p")
+    for name, arr in leaves.items():
+        # bfloat16 has no portable npy dtype; store raw bytes + dtype tag
+        if arr.dtype == jnp.bfloat16:
+            np.save(os.path.join(out_dir, name + ".bf16.npy"),
+                    arr.view(np.uint16))
+        else:
+            np.save(os.path.join(out_dir, name + ".npy"), arr)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def load_params(out_dir: str):
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+
+    def load_leaf(name):
+        bf16 = os.path.join(out_dir, name + ".bf16.npy")
+        if os.path.exists(bf16):
+            return np.load(bf16).view(jnp.bfloat16)
+        return np.load(os.path.join(out_dir, name + ".npy"))
+
+    return _decode(manifest, load_leaf)
