@@ -95,6 +95,9 @@ def main():
     else:
         params = init_llama_params(key, mc)
     draft = init_eagle_params(jax.random.key(1), mc, embed=params.embed)
+    if quant != "none":
+        from flowspec_tpu.draft.eagle import quantize_eagle_params
+        draft = quantize_eagle_params(draft, quant)
     eng = SpecEngine(params, draft, cfg)
 
     prompt = np.random.default_rng(0).integers(10, 1000, 64)

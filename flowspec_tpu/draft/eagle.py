@@ -17,6 +17,7 @@ import numpy as np
 from flowspec_tpu.config import ModelConfig
 from flowspec_tpu.models.kv_cache import KVCache
 from flowspec_tpu.models.llama import attention, rms_norm, rope
+from flowspec_tpu.ops.quant import qmatmul, quantize_int8, quantize_nf4
 
 
 @jax.tree_util.register_dataclass
@@ -45,9 +46,9 @@ def eagle_layer(x: jax.Array, p: EagleParams, k_cache, v_cache,
     nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
 
     res = x
-    q = (x @ p.wq).reshape(b, t, nq, d).transpose(0, 2, 1, 3)
-    k = (x @ p.wk).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
-    v = (x @ p.wv).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
+    q = qmatmul(x, p.wq).reshape(b, t, nq, d).transpose(0, 2, 1, 3)
+    k = qmatmul(x, p.wk).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
+    v = qmatmul(x, p.wv).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
@@ -58,11 +59,12 @@ def eagle_layer(x: jax.Array, p: EagleParams, k_cache, v_cache,
 
     attn = attention(q, k_cache, v_cache, bias, nq // nkv)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
-    x = res + attn @ p.wo
+    x = res + qmatmul(attn, p.wo)
 
     res = x
     x = rms_norm(x, p.post_ln, cfg.rms_norm_eps)
-    x = res + (jax.nn.silu(x @ p.w_gate) * (x @ p.w_up)) @ p.w_down
+    x = res + qmatmul(jax.nn.silu(qmatmul(x, p.w_gate)) * qmatmul(x, p.w_up),
+                      p.w_down)
     return x, k_cache, v_cache
 
 
@@ -70,7 +72,24 @@ def fuse(p: EagleParams, tokens: jax.Array, hidden: jax.Array) -> jax.Array:
     """fc(concat(embed(tokens), hidden)) — eagle/cnets.py:615."""
     emb = p.embed[jnp.clip(tokens, 0, p.embed.shape[0] - 1)]
     x = jnp.concatenate([emb.astype(hidden.dtype), hidden], axis=-1)
-    return x @ p.fc_w + p.fc_b
+    return qmatmul(x, p.fc_w) + p.fc_b
+
+
+EAGLE_QUANT_FIELDS = ("fc_w", "wq", "wk", "wv", "wo",
+                      "w_gate", "w_up", "w_down")
+
+
+def quantize_eagle_params(p: EagleParams, kind: str) -> EagleParams:
+    """Weight-only quantize the draft matmuls. The beam re-reads the draft
+    weights once per tree level (6-8x per round), so halving their bytes cuts
+    a large slice of round latency. The reference does not quantize its
+    draft (stage_ea_model.py:113-164 loads it full-precision); quality-wise
+    the draft only proposes — verification still uses base-model logits."""
+    assert kind in ("int8", "nf4")
+    fn = quantize_int8 if kind == "int8" else quantize_nf4
+    import dataclasses as _dc
+    return _dc.replace(p, **{f: fn(getattr(p, f))
+                             for f in EAGLE_QUANT_FIELDS})
 
 
 def draft_context_forward(p: EagleParams, cache: KVCache, tokens: jax.Array,

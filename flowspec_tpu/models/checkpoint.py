@@ -20,16 +20,32 @@ import numpy as np
 
 from flowspec_tpu.models.llama import LlamaLayerParams, LlamaParams
 from flowspec_tpu.models.mixtral import MixtralLayerParams, MixtralParams
+from flowspec_tpu.models.kv_cache import KVCache
 from flowspec_tpu.draft.eagle import EagleParams
 from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor
 
+
+def _engine_classes():
+    # imported lazily to avoid a runtime<->models import cycle
+    from flowspec_tpu.runtime.engine import EngineState
+    from flowspec_tpu.parallel.pipeline import PipeState
+    return (EngineState, PipeState)
+
+
 _CLASSES = {c.__name__: c for c in (
     LlamaParams, LlamaLayerParams, MixtralParams, MixtralLayerParams,
-    EagleParams, Int8Tensor, NF4Tensor)}
+    EagleParams, Int8Tensor, NF4Tensor, KVCache)}
+
+
+def _all_classes():
+    out = dict(_CLASSES)
+    for c in _engine_classes():
+        out[c.__name__] = c
+    return out
 
 
 def _encode(obj, leaves, prefix):
-    if isinstance(obj, tuple(_CLASSES.values())):
+    if isinstance(obj, tuple(_all_classes().values())):
         fields = {}
         for f in dataclasses.fields(obj):
             fields[f.name] = _encode(getattr(obj, f.name), leaves,
@@ -42,7 +58,7 @@ def _encode(obj, leaves, prefix):
 def _decode(node, load_leaf):
     if "__leaf__" in node:
         return jnp.asarray(load_leaf(node["__leaf__"]))
-    cls = _CLASSES[node["__class__"]]
+    cls = _all_classes()[node["__class__"]]
     return cls(**{k: _decode(v, load_leaf)
                   for k, v in node["fields"].items()})
 
@@ -73,3 +89,23 @@ def load_params(out_dir: str):
         return np.load(os.path.join(out_dir, name + ".npy"))
 
     return _decode(manifest, load_leaf)
+
+
+def save_state(state, out_dir: str) -> None:
+    """Persist a mid-generation EngineState / PipeState (KV caches, pending
+    draft pairs, RNG key) for resume — a capability the reference lacks
+    (SURVEY.md section 5: "No ... mid-generation resume"). PRNG key arrays
+    are stored via their raw key data."""
+    state = jax.tree_util.tree_map(
+        lambda x: jax.random.key_data(x)
+        if jnp.issubdtype(getattr(x, "dtype", np.float32), jax.dtypes.prng_key)
+        else x, state)
+    save_params(state, out_dir)
+
+
+def load_state(out_dir: str, rewrap_key: bool = True):
+    state = load_params(out_dir)
+    if rewrap_key and hasattr(state, "key"):
+        state = dataclasses.replace(
+            state, key=jax.random.wrap_key_data(state.key))
+    return state
