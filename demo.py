@@ -74,7 +74,7 @@ def main():
     if args.engine == "pipeline":
         from flowspec_tpu.parallel import PipelineEngine
         eng = PipelineEngine(params, draft, cfg, schedule=args.schedule)
-        gen = eng.generate
+        gen = eng.generate_fused
     elif args.engine == "tp":
         from flowspec_tpu.parallel.tp import TPEngine
         eng = TPEngine(params, draft, cfg)

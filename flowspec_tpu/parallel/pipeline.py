@@ -197,12 +197,18 @@ class PipelineEngine:
             in_specs=(dspec, sspec, P(), P(), P()),
             out_specs=sspec, check_vma=False))
 
+        round_kw = dict(mc=mc, tc=tc, sampling=cfg.sampling,
+                        p=p_stages, c_buf=self.c_buf, out_cap=self.out_cap,
+                        max_turns=self.max_turns, force_turn=self.force_turn,
+                        schedule=schedule, max_levels=self.max_levels)
         self._round = jax.jit(jax.shard_map(
-            functools.partial(
-                _pipeline_round, mc=mc, tc=tc, sampling=cfg.sampling,
-                p=p_stages, c_buf=self.c_buf, out_cap=self.out_cap,
-                max_turns=self.max_turns, force_turn=self.force_turn,
-                schedule=schedule, max_levels=self.max_levels),
+            functools.partial(_pipeline_round, **round_kw),
+            mesh=mesh,
+            in_specs=(pspec, dspec, sspec, P(), P()),
+            out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P())),
+            check_vma=False))
+        self._decode_loop = jax.jit(jax.shard_map(
+            functools.partial(_pipeline_decode_loop, **round_kw),
             mesh=mesh,
             in_specs=(pspec, dspec, sspec, P(), P()),
             out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P())),
@@ -330,6 +336,29 @@ class PipelineEngine:
         return state
 
     # ------------------------------------------------------------------
+    def generate_fused(self, prompt, max_new_tokens=None, eos_token_id=2,
+                       seed: int = 0):
+        """Whole multi-round decode in ONE device program (no host
+        round-trips between rounds) — the multi-chip production path."""
+        max_new = max_new_tokens or self.cfg.max_new_tokens
+        assert max_new <= self.out_cap, (max_new, self.out_cap)
+        state = self.init_state(seed)
+        state = self.prefill(state, prompt)
+        state, res = self._decode_loop(
+            self.params, self.draft, state,
+            jnp.asarray(eos_token_id, jnp.int32),
+            jnp.asarray(max_new, jnp.int32))
+        out = list(np.asarray(prompt, np.int64))
+        new_tokens = 0
+        for t in np.asarray(res.out_tokens)[:int(res.n_out)]:
+            out.append(int(t))
+            new_tokens += 1
+            if int(t) == eos_token_id or new_tokens >= max_new:
+                break
+        return out, {"new_tokens": new_tokens, "turns": int(res.turns),
+                     "rounds": -1,
+                     "accept_per_round": float("nan")}
+
     def generate(self, prompt, max_new_tokens=None, eos_token_id=2,
                  seed: int = 0):
         max_new = max_new_tokens or self.cfg.max_new_tokens
@@ -855,3 +884,42 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
         key=final.key)
     return new_state, RoundOut(out_tokens=final.out_tokens,
                                n_out=final.n_out, turns=final.turn)
+
+
+def _pipeline_decode_loop(params, draft, state: PipeState, eos_id, budget, *,
+                          mc, tc, sampling, p, c_buf, out_cap, max_turns,
+                          force_turn, schedule, max_levels):
+    """On-device multi-round loop around _pipeline_round: rounds repeat until
+    eos or the token budget, accumulating committed tokens."""
+    buf_cap = out_cap * 4
+
+    def round_fn(st, remaining):
+        return _pipeline_round(
+            params, draft, st, eos_id, remaining, mc=mc, tc=tc,
+            sampling=sampling, p=p, c_buf=c_buf, out_cap=out_cap,
+            max_turns=max_turns, force_turn=force_turn, schedule=schedule,
+            max_levels=max_levels)
+
+    def cond(carry):
+        _, _, n_out, done, _ = carry
+        return ~done & (n_out < budget)
+
+    def body(carry):
+        st, out, n_out, done, turns = carry
+        st2, res = round_fn(st, budget - n_out)
+        i = jnp.arange(out_cap, dtype=jnp.int32)
+        pv = i < res.n_out
+        wpos = jnp.where(pv, n_out + i, buf_cap)
+        toks = jnp.where(pv, res.out_tokens, 0)
+        out2 = out.at[wpos].set(toks, mode="drop")
+        eos_hit = jnp.any(pv & (res.out_tokens == eos_id) & (eos_id >= 0))
+        stalled = res.n_out <= 0
+        return (st2, out2, n_out + res.n_out, done | eos_hit | stalled,
+                turns + res.turns)
+
+    init = (state, jnp.zeros((buf_cap,), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.asarray(False),
+            jnp.zeros((), jnp.int32))
+    st, out, n_out, _, turns = jax.lax.while_loop(cond, body, init)
+    return st, RoundOut(out_tokens=out[:out_cap] if buf_cap != out_cap
+                        else out, n_out=n_out, turns=turns)

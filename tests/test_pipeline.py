@@ -110,3 +110,15 @@ def test_eos_stops(setup):
     first = gen.index(eos)
     assert len(gen) == first + 1
     assert gen[:first + 1] == ar[len(prompt):len(prompt) + first + 1]
+
+
+def test_fused_pipeline_decode_loop(setup):
+    """The on-device multi-round loop must match the per-round driver."""
+    cfg, p, d = setup
+    ref = SpecEngine(p, d, cfg)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(3, 11, 9).tolist()
+    ar, _ = ref.generate_ar(prompt, max_new_tokens=18, eos_token_id=-1)
+    eng = PipelineEngine(p, d, cfg, schedule="continuous")
+    out, _ = eng.generate_fused(prompt, max_new_tokens=18, eos_token_id=-1)
+    assert out == ar
