@@ -24,12 +24,17 @@ import numpy as np
 
 def main():
     model_kind = os.environ.get("BENCH_MODEL", "7b")
-    n_tokens = int(os.environ.get("BENCH_TOKENS", "128"))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
     mode = os.environ.get("BENCH_MODE", "spec")
     quant = os.environ.get("BENCH_QUANT", "int8" if model_kind == "7b"
                            else "none")
 
     import jax
+    # persistent compilation cache: the fused decode loop takes minutes to
+    # compile at 7B; cache hits make repeat runs start in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE", "/tmp/flowspec_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
     from flowspec_tpu.config import (
         EngineConfig, ModelConfig, SamplingConfig, TreeConfig,
