@@ -7,5 +7,10 @@ schedule methods in stage_ea_model.py) with a single SPMD program over a
 """
 
 from flowspec_tpu.parallel.pipeline import PipelineEngine
+from flowspec_tpu.parallel.tp import TPEngine
+from flowspec_tpu.parallel.mesh import (
+    init_multihost, stage_mesh, stage_tp_mesh, tp_mesh,
+)
 
-__all__ = ["PipelineEngine"]
+__all__ = ["PipelineEngine", "TPEngine", "init_multihost", "stage_mesh",
+           "stage_tp_mesh", "tp_mesh"]

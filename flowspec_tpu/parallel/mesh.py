@@ -1,0 +1,54 @@
+"""Mesh construction helpers, including multi-host slices.
+
+The reference scales across machines by changing torchrun launch env
+(run_jetson.sh: --nnodes=5 --master_addr=...). The TPU equivalent is
+jax.distributed + one global mesh: every host runs the same SPMD program and
+XLA routes stage hops over ICI within a slice and DCN across slices. The
+engines only see a Mesh, so single-host and multi-host runs differ solely in
+how the mesh is built.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed. On TPU pods with standard env vars all
+    arguments auto-detect; explicit args support manual bring-up (the
+    analogue of the reference's master_addr/nnodes torchrun flags)."""
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def stage_mesh(num_stages: int, devices=None) -> Mesh:
+    """1-D pipeline mesh. With multi-host device lists, keeps each stage's
+    devices contiguous so inter-stage ppermute rides ICI where possible."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= num_stages, (len(devices), num_stages)
+    return Mesh(np.array(devices[:num_stages]), ("stage",))
+
+
+def stage_tp_mesh(num_stages: int, tp: int, devices=None) -> Mesh:
+    """(stage, tp) mesh: layers pipeline over `stage`, attention heads /
+    mlp shards over `tp`. tp is the minor (fastest-varying) axis so each
+    stage's TP group is a contiguous device block — all-reduces stay inside
+    a host/slice, stage hops cross blocks."""
+    devices = devices if devices is not None else jax.devices()
+    need = num_stages * tp
+    assert len(devices) >= need, (len(devices), need)
+    arr = np.array(devices[:need]).reshape(num_stages, tp)
+    return Mesh(arr, ("stage", "tp"))
+
+
+def tp_mesh(tp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= tp
+    return Mesh(np.array(devices[:tp]), ("tp",))

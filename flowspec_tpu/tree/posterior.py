@@ -68,8 +68,8 @@ def evaluate_posterior_greedy(node_logits: jax.Array,
 
 
 def evaluate_posterior_stochastic(node_logits: jax.Array, tree: TokenTree,
-                                  cfg: SamplingConfig,
-                                  key: jax.Array) -> PosteriorResult:
+                                  cfg: SamplingConfig, key: jax.Array,
+                                  max_trials: int = 32) -> PosteriorResult:
     """EAGLE/SpecInfer-style sequential rejection sampling
     (ref pipeline_utils.py:1384-1433).
 
@@ -110,37 +110,51 @@ def evaluate_posterior_stochastic(node_logits: jax.Array, tree: TokenTree,
         dup = jnp.any(same_tok & earlier & eligible[None, :], axis=1)
         trial = eligible & ~dup                              # rows to try, in order
 
-        keys = jax.random.split(c.key, leaf_cap + 1)
+        # Compact the (few — at most one per distinct sibling token, i.e. the
+        # beam width) trial rows to the front and scan only those. Sequential
+        # rejection with per-step renormalization is algebraically
+        # p(x_m) / (1 - sum_{j<m} p(x_j)) because trial tokens are distinct,
+        # so the carry is the scalar rejected mass, not the (V,) distribution.
+        m_trials = min(max_trials, leaf_cap)
+        order = jnp.argsort(~trial, stable=True)
+        t_rows = order[:m_trials]
+        t_valid = trial[t_rows]
+        t_tok = jnp.where(t_valid, x[t_rows], 0)
+        p_t = jnp.where(t_valid, gtp0[jnp.clip(t_tok, 0, vocab - 1)], 0.0)
+
+        keys = jax.random.split(c.key, m_trials + 1)
         step_key, row_keys = keys[0], keys[1:]
 
         class Inner(NamedTuple):
             accepted: jax.Array   # () bool
             best: jax.Array       # () int32
             tok: jax.Array        # () int32
-            gtp: jax.Array        # (V,) f32
+            removed: jax.Array    # () f32 — rejected probability mass
             rejected_any: jax.Array
 
         def row_step(s: Inner, inp):
-            j, rk = inp
-            do = trial[j] & ~s.accepted
-            xi = jnp.clip(x[j], 0, vocab - 1)
+            row, tok, p, valid, rk = inp
+            do = valid & ~s.accepted
+            denom = jnp.maximum(1.0 - s.removed, 1e-30)
             r = jax.random.uniform(rk)
-            px = s.gtp[xi]
-            acc = do & (r <= px)
-            rej = do & (r > px)
-            gtp = jnp.where(rej, s.gtp.at[xi].set(0.0), s.gtp)
-            gtp = jnp.where(rej, gtp / jnp.maximum(gtp.sum(), 1e-30), gtp)
+            acc = do & (r * denom <= p)
+            rej = do & ~acc
             return Inner(accepted=s.accepted | acc,
-                         best=jnp.where(acc, j, s.best),
-                         tok=jnp.where(acc, x[j], s.tok),
-                         gtp=gtp,
-                         rejected_any=s.rejected_any | rej), None
+                         best=jnp.where(acc, row, s.best),
+                         tok=jnp.where(acc, tok, s.tok),
+                         removed=s.removed + jnp.where(rej, p, 0.0),
+                         rejected_any=s.rejected_any | rej), rej
 
         init = Inner(jnp.asarray(False), c.best, jnp.asarray(-1, jnp.int32),
-                     gtp0, jnp.asarray(False))
-        inner, _ = jax.lax.scan(
+                     jnp.zeros(()), jnp.asarray(False))
+        inner, step_rej = jax.lax.scan(
             row_step, init,
-            (jnp.arange(leaf_cap, dtype=jnp.int32), row_keys))
+            (t_rows.astype(jnp.int32), t_tok, p_t, t_valid, row_keys))
+        # Residual distribution: rejected tokens zeroed, renormalized.
+        rej_pos = jnp.where(step_rej, jnp.clip(t_tok, 0, vocab - 1), vocab)
+        gtp_res = gtp0.at[rej_pos].set(0.0, mode="drop")
+        gtp_res = gtp_res / jnp.maximum(gtp_res.sum(), 1e-30)
+        inner_gtp = gtp_res
 
         step_active = c.active & (i == c.accept_len + 1) & jnp.any(eligible)
         accepted = step_active & inner.accepted
@@ -150,7 +164,7 @@ def evaluate_posterior_stochastic(node_logits: jax.Array, tree: TokenTree,
             accept_len=jnp.where(accepted, c.accept_len + 1, c.accept_len),
             best=jnp.where(accepted, inner.best.astype(jnp.int32), c.best),
             is_eq=new_is_eq,
-            gtp_last=jnp.where(step_active, inner.gtp, c.gtp_last),
+            gtp_last=jnp.where(step_active, inner_gtp, c.gtp_last),
             reject_no_accept=jnp.where(
                 step_active, inner.rejected_any & ~inner.accepted,
                 c.reject_no_accept),
