@@ -28,27 +28,40 @@ def init_multihost(coordinator: Optional[str] = None,
                                process_id=process_id)
 
 
-def stage_mesh(num_stages: int, devices=None) -> Mesh:
-    """1-D pipeline mesh. With multi-host device lists, keeps each stage's
-    devices contiguous so inter-stage ppermute rides ICI where possible."""
-    devices = devices if devices is not None else jax.devices()
+def stage_mesh(num_stages: int, devices=None,
+               allow_subset: bool = False) -> Mesh:
+    """1-D pipeline mesh. With an explicit multi-host device list the mesh
+    must cover it exactly (a subset would leave some hosts with no
+    addressable mesh devices while still running the SPMD program); pass
+    allow_subset=True only for single-host experimentation."""
+    explicit = devices is not None
+    devices = devices if explicit else jax.devices()
+    if explicit and not allow_subset:
+        assert len(devices) == num_stages, (len(devices), num_stages)
     assert len(devices) >= num_stages, (len(devices), num_stages)
     return Mesh(np.array(devices[:num_stages]), ("stage",))
 
 
-def stage_tp_mesh(num_stages: int, tp: int, devices=None) -> Mesh:
+def stage_tp_mesh(num_stages: int, tp: int, devices=None,
+                  allow_subset: bool = False) -> Mesh:
     """(stage, tp) mesh: layers pipeline over `stage`, attention heads /
     mlp shards over `tp`. tp is the minor (fastest-varying) axis so each
     stage's TP group is a contiguous device block — all-reduces stay inside
     a host/slice, stage hops cross blocks."""
-    devices = devices if devices is not None else jax.devices()
+    explicit = devices is not None
+    devices = devices if explicit else jax.devices()
     need = num_stages * tp
+    if explicit and not allow_subset:
+        assert len(devices) == need, (len(devices), need)
     assert len(devices) >= need, (len(devices), need)
     arr = np.array(devices[:need]).reshape(num_stages, tp)
     return Mesh(arr, ("stage", "tp"))
 
 
-def tp_mesh(tp: int, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+def tp_mesh(tp: int, devices=None, allow_subset: bool = False) -> Mesh:
+    explicit = devices is not None
+    devices = devices if explicit else jax.devices()
+    if explicit and not allow_subset:
+        assert len(devices) == tp, (len(devices), tp)
     assert len(devices) >= tp
     return Mesh(np.array(devices[:tp]), ("tp",))

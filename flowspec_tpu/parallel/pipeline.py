@@ -155,7 +155,8 @@ class PipelineEngine:
         mc, tc = cfg.model, cfg.tree
         p_stages = cfg.topology.num_stages
         if mesh is None:
-            mesh = Mesh(np.array(jax.devices()[:p_stages]), ("stage",))
+            from flowspec_tpu.parallel.mesh import stage_mesh
+            mesh = stage_mesh(p_stages)
         self.mesh = mesh
         self.p = p_stages
         assert mc.num_hidden_layers % p_stages == 0, \
@@ -569,8 +570,9 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
             if sampling.is_greedy:
                 res = evaluate_posterior_greedy(vlogits, vtree)
             else:
-                res = evaluate_posterior_stochastic(vlogits, vtree,
-                                                    sampling, k1)
+                res = evaluate_posterior_stochastic(
+                    vlogits, vtree, sampling, k1,
+                    max_trials=min(4 * tc.top_k, tc.leaf_cap))
             new_root_tok = sample_token(k2, res.sample_p, sampling,
                                         is_probs=True)
             n_acc = res.accept_len + 1

@@ -78,18 +78,37 @@ def shard_params_tp(params: LlamaParams, mesh: Mesh) -> LlamaParams:
 
 
 def shard_draft_tp(draft: EagleParams, mesh: Mesh) -> EagleParams:
+    from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor
+
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def put_w(w, kind):
+        # 2-D draft weights (In, Out); same quantized-container handling as
+        # shard_params_tp minus the layer axis
+        if isinstance(w, Int8Tensor):
+            if kind == "col":
+                return Int8Tensor(q=put(w.q, P(None, "tp")),
+                                  scale=put(w.scale, P("tp")))
+            return Int8Tensor(q=put(w.q, P("tp", None)),
+                              scale=put(w.scale, P()))
+        if isinstance(w, NF4Tensor):
+            if kind == "col":
+                return NF4Tensor(q=put(w.q, P(None, "tp")),
+                                 scale=put(w.scale, P(None, "tp")))
+            return NF4Tensor(q=put(w.q, P("tp", None)),
+                             scale=put(w.scale, P("tp", None)))
+        return put(w, P(None, "tp") if kind == "col" else P("tp", None))
 
     return dataclasses.replace(
         draft,
         embed=put(draft.embed, P()),
-        fc_w=put(draft.fc_w, P(None, "tp")), fc_b=put(draft.fc_b, P("tp")),
-        wq=put(draft.wq, P(None, "tp")), wk=put(draft.wk, P(None, "tp")),
-        wv=put(draft.wv, P(None, "tp")), wo=put(draft.wo, P("tp", None)),
-        w_gate=put(draft.w_gate, P(None, "tp")),
-        w_up=put(draft.w_up, P(None, "tp")),
-        w_down=put(draft.w_down, P("tp", None)),
+        fc_w=put_w(draft.fc_w, "col"), fc_b=put(draft.fc_b, P("tp")),
+        wq=put_w(draft.wq, "col"), wk=put_w(draft.wk, "col"),
+        wv=put_w(draft.wv, "col"), wo=put_w(draft.wo, "row"),
+        w_gate=put_w(draft.w_gate, "col"),
+        w_up=put_w(draft.w_up, "col"),
+        w_down=put_w(draft.w_down, "row"),
         post_ln=put(draft.post_ln, P()),
     )
 
@@ -106,8 +125,9 @@ class TPEngine(SpecEngine):
                  cfg: EngineConfig, mesh: Mesh | None = None,
                  tp: int | None = None):
         if mesh is None:
+            from flowspec_tpu.parallel.mesh import tp_mesh
             tp = tp or min(4, len(jax.devices()))
-            mesh = Mesh(np.array(jax.devices()[:tp]), ("tp",))
+            mesh = tp_mesh(tp)
         self.mesh = mesh
         tp_size = mesh.shape["tp"]
         assert cfg.model.num_key_value_heads % tp_size == 0, \

@@ -319,7 +319,9 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
     if sampling.is_greedy:
         res = evaluate_posterior_greedy(node_logits, tree)
     else:
-        res = evaluate_posterior_stochastic(node_logits, tree, sampling, k1)
+        res = evaluate_posterior_stochastic(
+            node_logits, tree, sampling, k1,
+            max_trials=min(4 * tree_cfg.top_k, tree_cfg.leaf_cap))
     new_root = sample_token(k2, res.sample_p, sampling, is_probs=True)
 
     # 4. commit: path nodes [root, a_1..a_k]

@@ -69,7 +69,7 @@ def evaluate_posterior_greedy(node_logits: jax.Array,
 
 def evaluate_posterior_stochastic(node_logits: jax.Array, tree: TokenTree,
                                   cfg: SamplingConfig, key: jax.Array,
-                                  max_trials: int = 32) -> PosteriorResult:
+                                  max_trials: int | None = None) -> PosteriorResult:
     """EAGLE/SpecInfer-style sequential rejection sampling
     (ref pipeline_utils.py:1384-1433).
 
@@ -81,6 +81,11 @@ def evaluate_posterior_stochastic(node_logits: jax.Array, tree: TokenTree,
     """
     node_cap, vocab = node_logits.shape
     leaf_cap, depth_cap = tree.retrieve.shape
+    # Trials per depth are bounded by the distinct child tokens of one node.
+    # Callers that know the beam width should pass ~4*top_k (covers several
+    # merge generations); the default of leaf_cap is exact but slower.
+    if max_trials is None:
+        max_trials = leaf_cap
     cand = tree.candidates()
     leaf_valid = tree.leaf_valid()
 
@@ -130,7 +135,6 @@ def evaluate_posterior_stochastic(node_logits: jax.Array, tree: TokenTree,
             best: jax.Array       # () int32
             tok: jax.Array        # () int32
             removed: jax.Array    # () f32 — rejected probability mass
-            rejected_any: jax.Array
 
         def row_step(s: Inner, inp):
             row, tok, p, valid, rk = inp
@@ -142,19 +146,18 @@ def evaluate_posterior_stochastic(node_logits: jax.Array, tree: TokenTree,
             return Inner(accepted=s.accepted | acc,
                          best=jnp.where(acc, row, s.best),
                          tok=jnp.where(acc, tok, s.tok),
-                         removed=s.removed + jnp.where(rej, p, 0.0),
-                         rejected_any=s.rejected_any | rej), rej
+                         removed=s.removed + jnp.where(rej, p, 0.0)), rej
 
         init = Inner(jnp.asarray(False), c.best, jnp.asarray(-1, jnp.int32),
-                     jnp.zeros(()), jnp.asarray(False))
+                     jnp.zeros(()))
         inner, step_rej = jax.lax.scan(
             row_step, init,
             (t_rows.astype(jnp.int32), t_tok, p_t, t_valid, row_keys))
+        rejected_any = jnp.any(step_rej)
         # Residual distribution: rejected tokens zeroed, renormalized.
         rej_pos = jnp.where(step_rej, jnp.clip(t_tok, 0, vocab - 1), vocab)
         gtp_res = gtp0.at[rej_pos].set(0.0, mode="drop")
         gtp_res = gtp_res / jnp.maximum(gtp_res.sum(), 1e-30)
-        inner_gtp = gtp_res
 
         step_active = c.active & (i == c.accept_len + 1) & jnp.any(eligible)
         accepted = step_active & inner.accepted
@@ -164,9 +167,9 @@ def evaluate_posterior_stochastic(node_logits: jax.Array, tree: TokenTree,
             accept_len=jnp.where(accepted, c.accept_len + 1, c.accept_len),
             best=jnp.where(accepted, inner.best.astype(jnp.int32), c.best),
             is_eq=new_is_eq,
-            gtp_last=jnp.where(step_active, inner_gtp, c.gtp_last),
+            gtp_last=jnp.where(step_active, gtp_res, c.gtp_last),
             reject_no_accept=jnp.where(
-                step_active, inner.rejected_any & ~inner.accepted,
+                step_active, rejected_any & ~inner.accepted,
                 c.reject_no_accept),
             key=step_key,
         ), None
