@@ -53,9 +53,9 @@ from flowspec_tpu.draft.eagle import (
 from flowspec_tpu.tree.build import finalize_tree
 from flowspec_tpu.models.bias import prefill_bias, tree_bias
 from flowspec_tpu.models.kv_cache import KVCache, init_kv_cache
+from flowspec_tpu.models import model_forward
 from flowspec_tpu.models.llama import (
-    LlamaLayerParams, LlamaParams, embed_tokens, final_hidden, llama_forward,
-    lm_head_logits,
+    LlamaParams, embed_tokens, final_hidden, lm_head_logits,
 )
 from flowspec_tpu.tree.partition import partition_lengths, rebucket_lengths
 from flowspec_tpu.tree.posterior import (
@@ -216,7 +216,11 @@ class PipelineEngine:
             check_vma=False))
 
     # ------------------------------------------------------------------
-    def _shard_params(self, params: LlamaParams) -> LlamaParams:
+    def _shard_params(self, params):
+        """Stage-shard the stacked layer axis; replicate the rest. Works for
+        any model family whose params expose (embed, layers, final_norm,
+        lm_head) with a leading layer axis on every `layers` leaf (llama,
+        qwen2, mixtral — incl. quantized containers)."""
         m = self.mesh
         lp = params.layers
         lp = dataclasses.replace(lp, **{
@@ -230,10 +234,11 @@ class PipelineEngine:
                                    lm_head=rep(params.lm_head))
 
     def _specs(self):
-        lspec = LlamaLayerParams(**{
-            f.name: P("stage") for f in dataclasses.fields(LlamaLayerParams)})
-        pspec = LlamaParams(embed=P(), layers=lspec, final_norm=P(),
-                            lm_head=P())
+        layer_cls = type(self.params.layers)
+        lspec = layer_cls(**{
+            f.name: P("stage") for f in dataclasses.fields(layer_cls)})
+        pspec = type(self.params)(embed=P(), layers=lspec, final_norm=P(),
+                                  lm_head=P())
         dspec = EagleParams(**{
             f.name: P() for f in dataclasses.fields(EagleParams)})
         sspec = PipeState(
@@ -414,7 +419,7 @@ def _prefill_turn(params, state: PipeState, out: Flight, chunk_tok, n_valid,
     def fwd(kv):
         bias = prefill_bias(my.start, pc, s_max)
         positions = my.start + jnp.arange(pc, dtype=jnp.int32)
-        h, kv2 = llama_forward(params, kv, my.h[None], positions, bias,
+        h, kv2 = model_forward(params, kv, my.h[None], positions, bias,
                                my.start, mc)
         return h[0].astype(my.h.dtype), kv2
 
@@ -433,10 +438,6 @@ def _draft_drain(draft, state: PipeState, toks, hid, n_valid, *, mc):
     return dataclasses.replace(state, draft_cache=dc)
 
 
-def _stage_layers(params: LlamaParams):
-    return params
-
-
 def _forward_chunk(params, kv, tree: TokenTree, fl: Flight, commit, c_buf,
                    mc):
     """Run my layer shard over an in-flight chunk (contiguous node ids)."""
@@ -450,7 +451,7 @@ def _forward_chunk(params, kv, tree: TokenTree, fl: Flight, commit, c_buf,
     row_bias = jnp.where(rows, 0.0, NEG_INF).astype(jnp.float32)
     bias = tree_bias(row_bias, commit, jnp.zeros((), jnp.int32), s_max)
     positions = commit + tree.depth[safe]
-    h, kv2 = llama_forward(params, kv, fl.h[None], positions, bias,
+    h, kv2 = model_forward(params, kv, fl.h[None], positions, bias,
                            commit + fl.start, mc)
     return h[0].astype(fl.h.dtype), kv2
 

@@ -30,11 +30,17 @@ from flowspec_tpu.models.llama import LlamaParams
 from flowspec_tpu.runtime.engine import SpecEngine
 
 
-def shard_params_tp(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+def shard_params_tp(params, mesh: Mesh):
     """Megatron layout (ref tp/tp_split_and_save_models.py:61-72: chunk dim 0
     for q/k/v/gate/up/embed/lm_head, dim 1 for o/down — HF stores (out, in),
-    ours are (in, out), so 'dim 0' becomes our last axis)."""
+    ours are (in, out), so 'dim 0' becomes our last axis). Mixtral params get
+    expert parallelism: the stacked expert weights shard the E axis over
+    'tp' (the reference has no EP at all, SURVEY.md section 2.4)."""
+    from flowspec_tpu.models.mixtral import MixtralParams
     from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor
+
+    if isinstance(params, MixtralParams):
+        return _shard_mixtral_tp(params, mesh)
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -67,6 +73,34 @@ def shard_params_tp(params: LlamaParams, mesh: Mesh) -> LlamaParams:
         wo=put_w(lp.wo, "row"),
         w_gate=put_w(lp.w_gate, "col"), w_up=put_w(lp.w_up, "col"),
         w_down=put_w(lp.w_down, "row"),
+        input_ln=put(lp.input_ln, P()), post_ln=put(lp.post_ln, P()),
+    )
+    return dataclasses.replace(
+        params, layers=lp,
+        embed=put(params.embed, P()),
+        final_norm=put(params.final_norm, P()),
+        lm_head=put(params.lm_head, P(None, "tp")),
+    )
+
+
+def _shard_mixtral_tp(params, mesh: Mesh):
+    """Attention column/row sharding as for llama; MoE experts sharded over
+    'tp' (expert parallelism — each device holds E/tp experts; the mixture
+    combine einsum becomes a psum XLA inserts)."""
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    lp = params.layers
+    col = P(None, None, "tp")
+    row = P(None, "tp", None)
+    ep = P(None, "tp", None, None)     # (L, E, ., .)
+    lp = dataclasses.replace(
+        lp,
+        wq=put(lp.wq, col), wk=put(lp.wk, col), wv=put(lp.wv, col),
+        wo=put(lp.wo, row),
+        router=put(lp.router, P()),
+        w_gate=put(lp.w_gate, ep), w_up=put(lp.w_up, ep),
+        w_down=put(lp.w_down, ep),
         input_ln=put(lp.input_ln, P()), post_ln=put(lp.post_ln, P()),
     )
     return dataclasses.replace(
@@ -132,6 +166,9 @@ class TPEngine(SpecEngine):
         tp_size = mesh.shape["tp"]
         assert cfg.model.num_key_value_heads % tp_size == 0, \
             "kv heads must divide tp"
+        if cfg.model.num_local_experts:
+            assert cfg.model.num_local_experts % tp_size == 0, \
+                "experts must divide tp (expert parallelism)"
         params = shard_params_tp(params, mesh)
         draft = shard_draft_tp(draft, mesh)
         super().__init__(params, draft, cfg)
