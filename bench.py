@@ -12,7 +12,9 @@ real EAGLE weights only raise tokens/s from here.
 
 Env knobs: BENCH_MODEL=7b|1b|tiny (default 7b), BENCH_TOKENS (default 128),
 BENCH_MODE=spec|ar (default spec), BENCH_QUANT=none|int8|nf4 (default int8
-for 7b — the reference's headline distributed config is int8 weight-only).
+for 7b — the reference's headline distributed config is int8 weight-only),
+BENCH_BATCH=N (default 1; N>1 measures aggregate tokens/s of N concurrent
+requests through the vmapped fused decode loop).
 """
 
 import json
@@ -28,6 +30,7 @@ def main():
     mode = os.environ.get("BENCH_MODE", "spec")
     quant = os.environ.get("BENCH_QUANT", "int8" if model_kind == "7b"
                            else "none")
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
 
     import jax
     # persistent compilation cache: the fused decode loop takes minutes to
@@ -103,11 +106,20 @@ def main():
     if quant != "none":
         from flowspec_tpu.draft.eagle import quantize_eagle_params
         draft = quantize_eagle_params(draft, quant)
-    eng = SpecEngine(params, draft, cfg)
+    if batch > 1:
+        from flowspec_tpu.runtime.batched import BatchedSpecEngine
+        eng = BatchedSpecEngine(params, draft, cfg, batch_size=batch)
+    else:
+        eng = SpecEngine(params, draft, cfg)
 
-    prompt = np.random.default_rng(0).integers(10, 1000, 64)
+    rng0 = np.random.default_rng(0)
+    prompt = rng0.integers(10, 1000, 64)
 
-    gen = eng.generate_fused if mode == "spec" else eng.generate_ar_fused
+    if batch > 1:
+        prompts = [rng0.integers(10, 1000, 64) for _ in range(batch)]
+        gen = lambda p_, **kw: eng.generate_batch_fused(prompts, **kw)
+    else:
+        gen = eng.generate_fused if mode == "spec" else eng.generate_ar_fused
     # warmup with the SAME token budget: max_out is a static argument of the
     # fused decode loop, so a different budget would recompile in the timed
     # region below
@@ -121,8 +133,9 @@ def main():
 
     baseline = 8.70   # FlowSpec LLaMA2-7B greedy mean, BASELINE.md
     qtag = "" if quant == "none" else f"_{quant}"
+    btag = "" if batch <= 1 else f"_b{batch}"
     print(json.dumps({
-        "metric": f"output_tokens_per_s_{model_kind}{qtag}_{mode}_greedy",
+        "metric": f"output_tokens_per_s_{model_kind}{qtag}_{mode}{btag}_greedy",
         "value": round(tps, 3),
         "unit": "tokens/s",
         "vs_baseline": round(tps / baseline, 3),

@@ -28,7 +28,9 @@ import numpy as np
 from flowspec_tpu.config import EngineConfig
 from flowspec_tpu.draft.eagle import EagleParams
 from flowspec_tpu.models.llama import LlamaParams
-from flowspec_tpu.runtime.engine import SpecEngine, _spec_round
+from flowspec_tpu.runtime.engine import (
+    SpecEngine, _spec_decode_loop, _spec_round,
+)
 
 
 class BatchedSpecEngine(SpecEngine):
@@ -42,6 +44,19 @@ class BatchedSpecEngine(SpecEngine):
             functools.partial(_spec_round, cfg=cfg.model, tree_cfg=cfg.tree,
                               sampling=cfg.sampling),
             in_axes=(0, None, None)))
+        self._vloops = {}
+
+    def _get_vloop(self, max_out: int):
+        """max_out is static to the loop body, so each budget gets its own
+        jitted vmapped program (cached)."""
+        if max_out not in self._vloops:
+            cfg = self.cfg
+            f = functools.partial(
+                _spec_decode_loop, cfg=cfg.model, tree_cfg=cfg.tree,
+                sampling=cfg.sampling, max_out=max_out)
+            self._vloops[max_out] = jax.jit(
+                jax.vmap(f, in_axes=(0, None, None, None, None)))
+        return self._vloops[max_out]
 
     # ------------------------------------------------------------------
     def _stack_states(self, states):
@@ -88,6 +103,36 @@ class BatchedSpecEngine(SpecEngine):
         return outs, {"new_tokens": total, "rounds": rounds,
                       "per_request": new_tokens,
                       "accept_per_round": total / max(rounds * b, 1)}
+
+    # ------------------------------------------------------------------
+    def generate_batch_fused(self, prompts: Sequence, max_new_tokens=None,
+                             eos_token_id: int = 2, seed: int = 0):
+        """All requests decoded in ONE device program (vmapped multi-round
+        while_loop); finished lanes idle until the slowest request is done."""
+        import jax.numpy as jnp
+        max_new = max_new_tokens or self.cfg.max_new_tokens
+        states = [self._prefill_one(p, seed + i)
+                  for i, p in enumerate(prompts)]
+        batched = self._stack_states(states)
+        out_buf, n_out, rounds = self._get_vloop(int(max_new))(
+            batched, self.params, self.draft,
+            jnp.asarray(eos_token_id, jnp.int32),
+            jnp.asarray(max_new, jnp.int32))
+        outs = []
+        new_tokens = []
+        for i, p in enumerate(prompts):
+            out = list(np.asarray(p, np.int64))
+            n = 0
+            for t in np.asarray(out_buf[i])[:int(n_out[i])]:
+                out.append(int(t))
+                n += 1
+                if int(t) == eos_token_id or n >= max_new:
+                    break
+            outs.append(out)
+            new_tokens.append(n)
+        total = sum(new_tokens)
+        return outs, {"new_tokens": total, "rounds": int(np.max(rounds)),
+                      "per_request": new_tokens}
 
     # ------------------------------------------------------------------
     def serve(self, prompts: Sequence, max_new_tokens=None,

@@ -377,13 +377,20 @@ def _spec_decode_loop(state: EngineState, params: LlamaParams,
         st, out, n_out, done, rounds = carry
         st2, res = _spec_round(st, params, draft, cfg=cfg, tree_cfg=tree_cfg,
                                sampling=sampling)
+        # `active` gates all updates: under vmap the while runs until every
+        # lane finishes, so finished lanes must be no-ops.
+        active = ~done & (n_out < budget)
         d_idx = jnp.arange(d_cap, dtype=jnp.int32)
-        pv = d_idx < res.n_accepted
+        pv = active & (d_idx < res.n_accepted)
         wpos = jnp.where(pv, n_out + d_idx, buf_cap)
         out2 = out.at[wpos].set(jnp.where(pv, res.accepted, 0), mode="drop")
-        n2 = n_out + res.n_accepted
+        n2 = n_out + jnp.where(active, res.n_accepted, 0)
         eos_hit = jnp.any(pv & (res.accepted == eos_id) & (eos_id >= 0))
-        return st2, out2, n2, done | eos_hit, rounds + 1
+        st3 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b) if a.ndim == 0
+            else jnp.where(
+                jnp.reshape(active, (1,) * a.ndim), a, b), st2, st)
+        return st3, out2, n2, done | eos_hit, rounds + jnp.where(active, 1, 0)
 
     init = (state, jnp.zeros((buf_cap,), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.asarray(False),
