@@ -58,6 +58,9 @@ def main():
         mc = ModelConfig.tiny()
         max_seq = 512
 
+    if batch > 1:
+        # B KV caches coexist; bound the context so they fit beside weights
+        max_seq = min(max_seq, 384)
     # reference tree defaults: 80 tokens / top-10 / depth-6; node_cap sized
     # to the single-chip engine's needs (fresh tree per round, no merge)
     tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16)

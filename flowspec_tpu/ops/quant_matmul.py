@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from flowspec_tpu.ops.quant import NF4_CODE, NF4_BLOCK
 
 BN = 512          # output tile (per grid step weight tile = In x BN bytes)
+VMEM_BUDGET = 12 * 1024 * 1024   # leave headroom under the 16MB scoped limit
 
 
 def _tile(n, pref):
@@ -56,7 +57,15 @@ def int8_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
     n_out = q.shape[-1]
     x2, bt0 = _pad_rows(x.reshape(b * t, n_in))
     bt = x2.shape[0]
-    bn = _tile(n_out, BN)
+    # VMEM: resident x (bt*In*2) + double-buffered q tile (2*In*bn) + out.
+    x_bytes = bt * n_in * 2
+    if x_bytes > VMEM_BUDGET - 2 * n_in * 64:
+        # activation alone blows VMEM (large fused batches): XLA path
+        y = jnp.einsum("bti,io->bto", x, q.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * scale).astype(x.dtype)
+    budget_bn = max(64, (VMEM_BUDGET - x_bytes) // (2 * n_in + 2 * bt))
+    bn = _tile(n_out, min(BN, budget_bn))
 
     out = pl.pallas_call(
         _int8_kernel,
@@ -127,8 +136,14 @@ def nf4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
     n_out = q.shape[-1]
     x2, bt0 = _pad_rows(x.reshape(b * t, n_in))
     bt = x2.shape[0]
-    # VMEM budget: q tile (In x bn u8, double-buffered) + bf16 decode + x
-    budget_bn = max(128, (8 * 1024 * 1024) // (n_in * 4))
+    x_bytes = bt * n_in * 2
+    if x_bytes > VMEM_BUDGET - 4 * n_in * 64:
+        from flowspec_tpu.ops.quant import NF4Tensor, dequantize
+        wd = dequantize(NF4Tensor(q=q, scale=scale)).astype(x.dtype)
+        return jnp.einsum("bti,io->bto", x, wd,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+    # q tile (In x bn u8, double-buffered) + bf16 decode (In x bn x 2) + x
+    budget_bn = max(64, (VMEM_BUDGET - x_bytes) // (4 * n_in + 2 * bt))
     bn = _tile(n_out, min(BN, budget_bn))
     assert n_in % NF4_BLOCK == 0, n_in
 
