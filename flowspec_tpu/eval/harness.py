@@ -27,6 +27,7 @@ class EvalResult:
     total_rounds: int = 0
     total_turns: int = 0
     n_questions: int = 0
+    n_conv_turns: int = 0
 
     @property
     def throughput(self) -> float:
@@ -48,6 +49,7 @@ class EvalResult:
         return {
             "name": self.name,
             "questions": self.n_questions,
+            "conversation_turns": self.n_conv_turns,
             "new_tokens": self.total_new_tokens,
             "throughput_tok_s": round(self.throughput, 3),
             "avg_latency_s": round(self.avg_latency, 3),
@@ -99,7 +101,8 @@ def run_eval(
             res.total_decode_s += dt
             res.total_rounds += stats.get("rounds", 0)
             res.total_turns += stats.get("turns", stats.get("rounds", 0))
-            res.n_questions += 1
+            res.n_conv_turns += 1
+        res.n_questions += 1
     if results_path:
         with open(results_path, "a") as f:
             f.write(json.dumps(res.summary()) + "\n")

@@ -60,6 +60,7 @@ def load_model_config(model_dir: str) -> ModelConfig:
         num_attention_heads=c["num_attention_heads"],
         num_key_value_heads=c.get("num_key_value_heads",
                                   c["num_attention_heads"]),
+        head_dim=c.get("head_dim"),
         rms_norm_eps=c.get("rms_norm_eps", 1e-5),
         rope_theta=c.get("rope_theta", 10000.0),
         max_position_embeddings=c.get("max_position_embeddings", 2048),

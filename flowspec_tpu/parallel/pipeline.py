@@ -262,8 +262,10 @@ class PipelineEngine:
             k=jax.device_put(kv.k, NamedSharding(mesh, P("stage"))),
             v=jax.device_put(kv.v, NamedSharding(mesh, P("stage"))),
             length=jax.device_put(kv.length, NamedSharding(mesh, P())))
+        draft_margin = max(self.max_levels * tc.top_k,
+                           2 * tc.node_cap + tc.depth_cap + self.ctx)
         dc = init_kv_cache(1, 1, mc.num_key_value_heads,
-                           self.cfg.max_seq_len + self.max_levels * tc.top_k,
+                           self.cfg.max_seq_len + draft_margin,
                            mc.head_dim_, dt)
         rep = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
         return PipeState(
@@ -552,7 +554,10 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
 
         # ---- decide whether to verdict this turn ----
         all_verified = verified >= c.tree.n_nodes
-        drained = (n_chunks <= 0)
+        # Zero-length chunk entries (fully pruned) hold no tokens: the queue
+        # is drained when nothing remains, even if n_chunks still counts
+        # empties (they only retire when a real completion passes them).
+        drained = (n_chunks <= 0) | (jnp.sum(lens) <= 0)
         if do_inflight_verdict:
             do_verdict = (comp.n > 0) | (drained & all_verified)
         else:
@@ -693,17 +698,24 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
 
             def pipedec_drain(args):
                 # The draft KV mirrors the base layout for pipedec: ctx pairs
-                # then tree nodes at dctx+node_id. Compact kept tree rows,
-                # then drain the accepted pairs (overwriting the accepted
-                # nodes' tree-drafted K/V with exact ctx-pair versions).
+                # then tree nodes at dctx+node_id. Order matters: the ctx
+                # drain writes a full padded block (ctx rows) at dctx, so the
+                # kept-tree rows are gathered FIRST, the accepted pairs are
+                # drained (their exact ctx-pair K/V overwriting the
+                # tree-drafted versions), and the kept rows are then written
+                # at dctx+n_acc — over the drain's padding, never under it.
                 (dcache, tree2_in, lens_in, n_chunks_in) = args
                 dctx = dcache.length
-                dsrc, dn_src = kv_keep_positions(
-                    info, dctx, jnp.asarray(n_cap, jnp.int32), pos_cap)
-                dc2 = dcache.compact(dsrc, dn_src, dctx).with_length(dctx)
+                keep_src = jnp.clip(info.kept_old_ids, 0, n_cap - 1) + dctx
+                kk_ = jnp.take(dcache.k, keep_src, axis=3)
+                kv_ = jnp.take(dcache.v, keep_src, axis=3)
                 _, dc2 = draft_context_forward(
-                    draft, dc2, pair_tok_p, pair_hid_p, dc2.length,
-                    n_acc, mc)
+                    draft, dcache, pair_tok_p, pair_hid_p, dctx, n_acc, mc)
+                new_k = jax.lax.dynamic_update_slice(
+                    dc2.k, kk_, (0, 0, 0, dctx + n_acc, 0))
+                new_v = jax.lax.dynamic_update_slice(
+                    dc2.v, kv_, (0, 0, 0, dctx + n_acc, 0))
+                dc2 = KVCache(k=new_k, v=new_v, length=dctx + n_acc)
                 return dc2, tree2_in, lens_in, n_chunks_in
 
             def no_drain(args):
@@ -777,7 +789,10 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
                 tree_ok = jnp.take_along_axis(
                     rowsb, jnp.broadcast_to(tree_col, (k_pd, s_draft)),
                     axis=1)
-                okb = jnp.where(jd < dctx, True, tree_ok)
+                # tree column 0 (the root) is excluded: its K/V lives in the
+                # ctx region (last drained pair) — slot dctx+0 is either
+                # unwritten (round start) or a duplicate copy (after drains)
+                okb = jnp.where(jd < dctx, True, tree_ok & (jd > dctx))
                 biasb = jnp.where(okb, 0.0, NEG_INF).astype(jnp.float32)
                 out_h, dk, dv = eagle_layer(
                     x, draft, dc.k[0], dc.v[0], positions, biasb,

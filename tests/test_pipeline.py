@@ -122,3 +122,30 @@ def test_fused_pipeline_decode_loop(setup):
     eng = PipelineEngine(p, d, cfg, schedule="continuous")
     out, _ = eng.generate_fused(prompt, max_new_tokens=18, eos_token_id=-1)
     assert out == ar
+
+
+def test_high_acceptance_stress():
+    """High-acceptance regime (vocab 8, deep top-7 beam, 4-token chunks):
+    stresses the all-unverified-pruned edge where a verdict can leave only
+    zero-length chunk entries in the queue, and pipedec's draft-KV
+    compaction ordering."""
+    mc = ModelConfig.tiny(vocab_size=8, n_layers=4)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    tc = TreeConfig(top_k=7, depth=5, total_tokens=28, expand_tokens=12,
+                    expand_depth=2, node_cap=64, leaf_cap=64, depth_cap=14,
+                    chunk_len=4, chunk_cap=14)
+    cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                       max_seq_len=256, prefill_chunk=8,
+                       topology=StageTopology.even(4, 4))
+    for seed in (4, 5):
+        p = init_llama_params(jax.random.key(seed), mc, dtype=jnp.float32)
+        d = init_eagle_params(jax.random.key(100 + seed), mc, embed=p.embed,
+                              dtype=jnp.float32)
+        ref = SpecEngine(p, d, cfg)
+        prompt = list(np.random.default_rng(seed).integers(2, 7, 8))
+        ar, _ = ref.generate_ar(prompt, max_new_tokens=24, eos_token_id=-1)
+        for sched in ("pruned", "continuous", "pipedec"):
+            eng = PipelineEngine(p, d, cfg, schedule=sched)
+            out, stats = eng.generate(prompt, max_new_tokens=24,
+                                      eos_token_id=-1)
+            assert out == ar, (seed, sched, stats)

@@ -52,7 +52,8 @@ def test_run_eval_multiturn(tmp_path):
                    detokenize=lambda t: "x" * len(t),
                    questions=qs, name="fake",
                    results_path=str(tmp_path / "out.jsonl"))
-    assert res.n_questions == 4            # 2 questions x 2 turns
+    assert res.n_questions == 2
+    assert res.n_conv_turns == 4           # 2 questions x 2 turns
     assert res.total_new_tokens == 12
     assert res.accept_per_round == 12 / 8
     assert res.accept_per_turn == 12 / 20
