@@ -16,7 +16,7 @@ import numpy as np
 
 from flowspec_tpu.config import ModelConfig
 from flowspec_tpu.models.kv_cache import KVCache
-from flowspec_tpu.models.llama import attention, rms_norm, rope
+from flowspec_tpu.models.llama import attention_block, rms_norm
 from flowspec_tpu.ops.quant import qmatmul, quantize_int8, quantize_nf4
 
 
@@ -41,25 +41,11 @@ def eagle_layer(x: jax.Array, p: EagleParams, k_cache, v_cache,
                 cfg: ModelConfig):
     """x (B, T, H) already fc-fused. No input RMSNorm (cnets LlamaDecoderLayer
     index 0 skips it, eagle/cnets.py:417-421)."""
-    b, t, _ = x.shape
-    d = cfg.head_dim_
-    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
-
     res = x
-    q = qmatmul(x, p.wq).reshape(b, t, nq, d).transpose(0, 2, 1, 3)
-    k = qmatmul(x, p.wk).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
-    v = qmatmul(x, p.wv).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
-
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k.astype(k_cache.dtype), (0, 0, write_start, 0))
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v.astype(v_cache.dtype), (0, 0, write_start, 0))
-
-    attn = attention(q, k_cache, v_cache, bias, nq // nkv)
-    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
-    x = res + qmatmul(attn, p.wo)
+    attn, k_cache, v_cache = attention_block(
+        x, p.wq, p.wk, p.wv, p.wo, k_cache, v_cache, positions, bias,
+        write_start, cfg)
+    x = res + attn
 
     res = x
     x = rms_norm(x, p.post_ln, cfg.rms_norm_eps)

@@ -87,21 +87,26 @@ def attention(q, k_all, v_all, bias, n_rep: int):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def decoder_layer(x, lp, k_cache, v_cache, positions, bias, write_start,
-                  cfg: ModelConfig):
-    """One decoder layer. x (B, T, H); k/v_cache (B, nkv, S, D) for this
-    layer; returns (x_out, k_cache', v_cache')."""
-    b, t, h = x.shape
+def attention_block(x, wq, wk, wv, wo, k_cache, v_cache, positions, bias,
+                    write_start, cfg: ModelConfig, bq=None, bk=None, bv=None):
+    """Shared attention sub-layer: qkv projections (+optional bias), rope,
+    KV-cache append, tree/causal-masked attention, output projection. Used by
+    the llama/qwen2 layer, the mixtral layer and the EAGLE draft layer —
+    they differ only in norms and MLPs."""
+    b, t, _ = x.shape
     d = cfg.head_dim_
     nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
 
-    res = x
-    x = rms_norm(x, lp.input_ln, cfg.rms_norm_eps)
-    q = (qmatmul(x, lp.wq) + lp.bq).reshape(b, t, nq, d).transpose(0, 2, 1, 3)
-    k = (qmatmul(x, lp.wk) + lp.bk).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
-    v = (qmatmul(x, lp.wv) + lp.bv).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    q = qmatmul(x, wq)
+    k = qmatmul(x, wk)
+    v = qmatmul(x, wv)
+    if bq is not None:
+        q, k, v = q + bq, k + bk, v + bv
+    q = rope(q.reshape(b, t, nq, d).transpose(0, 2, 1, 3), positions,
+             cfg.rope_theta)
+    k = rope(k.reshape(b, t, nkv, d).transpose(0, 2, 1, 3), positions,
+             cfg.rope_theta)
+    v = v.reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
 
     k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
                                            (0, 0, write_start, 0))
@@ -110,7 +115,19 @@ def decoder_layer(x, lp, k_cache, v_cache, positions, bias, write_start,
 
     attn = attention(q, k_cache, v_cache, bias, nq // nkv)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
-    x = res + qmatmul(attn, lp.wo)
+    return qmatmul(attn, wo), k_cache, v_cache
+
+
+def decoder_layer(x, lp, k_cache, v_cache, positions, bias, write_start,
+                  cfg: ModelConfig):
+    """One decoder layer. x (B, T, H); k/v_cache (B, nkv, S, D) for this
+    layer; returns (x_out, k_cache', v_cache')."""
+    res = x
+    x = rms_norm(x, lp.input_ln, cfg.rms_norm_eps)
+    attn, k_cache, v_cache = attention_block(
+        x, lp.wq, lp.wk, lp.wv, lp.wo, k_cache, v_cache, positions, bias,
+        write_start, cfg, bq=lp.bq, bk=lp.bk, bv=lp.bv)
+    x = res + attn
 
     res = x
     x = rms_norm(x, lp.post_ln, cfg.rms_norm_eps)

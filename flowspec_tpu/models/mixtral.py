@@ -20,9 +20,7 @@ import jax.numpy as jnp
 
 from flowspec_tpu.config import ModelConfig
 from flowspec_tpu.models.kv_cache import KVCache
-from flowspec_tpu.models.llama import (
-    attention, rms_norm, rope,
-)
+from flowspec_tpu.models.llama import attention_block, rms_norm
 from flowspec_tpu.ops.quant import qmatmul
 
 
@@ -77,26 +75,12 @@ def moe_block(x: jax.Array, lp: MixtralLayerParams,
 
 def mixtral_decoder_layer(x, lp, k_cache, v_cache, positions, bias,
                           write_start, cfg: ModelConfig):
-    b, t, _ = x.shape
-    d = cfg.head_dim_
-    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
-
     res = x
     x = rms_norm(x, lp.input_ln, cfg.rms_norm_eps)
-    q = qmatmul(x, lp.wq).reshape(b, t, nq, d).transpose(0, 2, 1, 3)
-    k = qmatmul(x, lp.wk).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
-    v = qmatmul(x, lp.wv).reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
-
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k.astype(k_cache.dtype), (0, 0, write_start, 0))
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v.astype(v_cache.dtype), (0, 0, write_start, 0))
-
-    attn = attention(q, k_cache, v_cache, bias, nq // nkv)
-    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
-    x = res + qmatmul(attn, lp.wo)
+    attn, k_cache, v_cache = attention_block(
+        x, lp.wq, lp.wk, lp.wv, lp.wo, k_cache, v_cache, positions, bias,
+        write_start, cfg)
+    x = res + attn
 
     res = x
     x = rms_norm(x, lp.post_ln, cfg.rms_norm_eps)
