@@ -122,16 +122,20 @@ _USE_PALLAS = None
 
 
 def _use_pallas() -> bool:
+    """Default OFF: measured end-to-end on v5e, XLA's fused dequant-matmul
+    (int8 kept as int8 in HBM, cast in-register) outruns the hand-written
+    kernels (34.9 vs 26.5 tok/s on the 7B int8 spec bench). The kernels stay
+    available via FLOWSPEC_PALLAS=1 as the tuning target; see ROADMAP.md."""
     global _USE_PALLAS
     if _USE_PALLAS is None:
         import os
-        if os.environ.get("FLOWSPEC_NO_PALLAS"):
-            _USE_PALLAS = False
-        else:
+        if os.environ.get("FLOWSPEC_PALLAS"):
             try:
                 _USE_PALLAS = jax.default_backend() not in ("cpu",)
             except Exception:
                 _USE_PALLAS = False
+        else:
+            _USE_PALLAS = False
     return _USE_PALLAS
 
 
