@@ -118,25 +118,31 @@ def dequantize(w) -> jax.Array:
     return jnp.asarray(w, jnp.float32)
 
 
-_USE_PALLAS = None
+_USE_PALLAS = {}
 
 
-def _use_pallas() -> bool:
-    """Default OFF: measured end-to-end on v5e, XLA's fused dequant-matmul
-    (int8 kept as int8 in HBM, cast in-register) outruns the hand-written
-    kernels (34.9 vs 26.5 tok/s on the 7B int8 spec bench). The kernels stay
-    available via FLOWSPEC_PALLAS=1 as the tuning target; see ROADMAP.md."""
-    global _USE_PALLAS
-    if _USE_PALLAS is None:
+def _use_pallas(kind: str) -> bool:
+    """Per-kind defaults from hardware A/B (7B spec bench, v5e):
+    - int8: XLA's fused dequant-matmul wins (34.9 vs 26.5 tok/s) — the int8
+      weights stay int8 in HBM and cast in-register, so the kernel adds
+      nothing. Default OFF.
+    - nf4: XLA must materialize a bf16 dequant copy per matmul (7.9 tok/s);
+      the fused kernel decodes in VMEM (13.8 tok/s). Default ON (on TPU).
+    FLOWSPEC_PALLAS=1 forces both on, FLOWSPEC_NO_PALLAS=1 both off."""
+    if kind not in _USE_PALLAS:
         import os
-        if os.environ.get("FLOWSPEC_PALLAS"):
-            try:
-                _USE_PALLAS = jax.default_backend() not in ("cpu",)
-            except Exception:
-                _USE_PALLAS = False
+        if os.environ.get("FLOWSPEC_NO_PALLAS"):
+            on = False
+        elif os.environ.get("FLOWSPEC_PALLAS"):
+            on = True
         else:
-            _USE_PALLAS = False
-    return _USE_PALLAS
+            on = kind == "nf4"
+        try:
+            on = on and jax.default_backend() not in ("cpu",)
+        except Exception:
+            on = False
+        _USE_PALLAS[kind] = on
+    return _USE_PALLAS[kind]
 
 
 def qmatmul(x: jax.Array, w) -> jax.Array:
@@ -146,14 +152,14 @@ def qmatmul(x: jax.Array, w) -> jax.Array:
     leading layer axis already sliced away by the scan.
     """
     if isinstance(w, Int8Tensor):
-        if _use_pallas() and x.ndim == 3:
+        if _use_pallas("int8") and x.ndim == 3:
             from flowspec_tpu.ops.quant_matmul import int8_matmul
             return int8_matmul(x, w.q, w.scale)
         y = jnp.einsum("...i,io->...o", x, w.q.astype(x.dtype),
                        preferred_element_type=jnp.float32)
         return (y * w.scale).astype(x.dtype)
     if isinstance(w, NF4Tensor):
-        if _use_pallas() and x.ndim == 3:
+        if _use_pallas("nf4") and x.ndim == 3:
             from flowspec_tpu.ops.quant_matmul import nf4_matmul
             return nf4_matmul(x, w.q, w.scale)
         wd = dequantize(w).astype(x.dtype)

@@ -190,7 +190,7 @@ class PipelineEngine:
             mesh=mesh,
             in_specs=(pspec, sspec, fspec, P(), P(), P()),
             out_specs=(sspec, fspec, P(), P()),
-            check_vma=False))
+            check_vma=False), donate_argnums=(1,))
 
         self._draft_drain = jax.jit(jax.shard_map(
             functools.partial(_draft_drain, mc=mc),
@@ -207,13 +207,20 @@ class PipelineEngine:
             mesh=mesh,
             in_specs=(pspec, dspec, sspec, P(), P()),
             out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P())),
-            check_vma=False))
+            check_vma=False), donate_argnums=(2,))
         self._decode_loop = jax.jit(jax.shard_map(
             functools.partial(_pipeline_decode_loop, **round_kw),
             mesh=mesh,
             in_specs=(pspec, dspec, sspec, P(), P()),
             out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P())),
-            check_vma=False))
+            check_vma=False), donate_argnums=(2,))
+        self._prefill_turn = jax.jit(jax.shard_map(
+            functools.partial(_prefill_turn, mc=mc, p=p_stages,
+                              pc=cfg.prefill_chunk),
+            mesh=mesh,
+            in_specs=(pspec, sspec, fspec, P(), P(), P()),
+            out_specs=(sspec, fspec, P(), P()),
+            check_vma=False), donate_argnums=(1,))             if True else self._prefill_turn
 
     # ------------------------------------------------------------------
     def _shard_params(self, params):

@@ -43,7 +43,7 @@ class BatchedSpecEngine(SpecEngine):
         self._vround = jax.jit(jax.vmap(
             functools.partial(_spec_round, cfg=cfg.model, tree_cfg=cfg.tree,
                               sampling=cfg.sampling),
-            in_axes=(0, None, None)))
+            in_axes=(0, None, None)), donate_argnums=(0,))
         self._vloops = {}
 
     def _get_vloop(self, max_out: int):
@@ -55,7 +55,8 @@ class BatchedSpecEngine(SpecEngine):
                 _spec_decode_loop, cfg=cfg.model, tree_cfg=cfg.tree,
                 sampling=cfg.sampling, max_out=max_out)
             self._vloops[max_out] = jax.jit(
-                jax.vmap(f, in_axes=(0, None, None, None, None)))
+                jax.vmap(f, in_axes=(0, None, None, None, None)),
+                donate_argnums=(0,))
         return self._vloops[max_out]
 
     # ------------------------------------------------------------------

@@ -70,17 +70,22 @@ class SpecEngine:
         self.draft_kv_len = cfg.max_seq_len + max_levels * tc.top_k
         self.base_kv_len = cfg.max_seq_len + tc.node_cap
 
-        self._prefill = jax.jit(functools.partial(_prefill_chunk, cfg=mc))
+        # donate_argnums=0: callers never reuse the pre-call state, and
+        # donation lets XLA update the KV caches in place instead of
+        # copying them every invocation
+        self._prefill = jax.jit(functools.partial(_prefill_chunk, cfg=mc),
+                                donate_argnums=(0,))
         self._round = jax.jit(functools.partial(
-            _spec_round, cfg=mc, tree_cfg=tc, sampling=cfg.sampling))
+            _spec_round, cfg=mc, tree_cfg=tc, sampling=cfg.sampling),
+            donate_argnums=(0,))
         self._ar_step = jax.jit(functools.partial(
-            _ar_step, cfg=mc, sampling=cfg.sampling))
+            _ar_step, cfg=mc, sampling=cfg.sampling), donate_argnums=(0,))
         self._spec_loop = jax.jit(functools.partial(
             _spec_decode_loop, cfg=mc, tree_cfg=tc, sampling=cfg.sampling),
-            static_argnames=("max_out",))
+            static_argnames=("max_out",), donate_argnums=(0,))
         self._ar_loop = jax.jit(functools.partial(
             _ar_decode_loop, cfg=mc, sampling=cfg.sampling),
-            static_argnames=("max_out",))
+            static_argnames=("max_out",), donate_argnums=(0,))
 
     # ---- state setup -----------------------------------------------------
     def init_state(self, seed: int = 0) -> EngineState:
