@@ -80,7 +80,10 @@ def _beam_step(p: EagleParams, head: jax.Array, cache_k, cache_v,
     logits = jnp.einsum("kh,hv->kv", out, head,
                         preferred_element_type=jnp.float32)           # (K, V)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    row_logp, row_tok = jax.lax.top_k(logp, k_beam)               # (K, K)
+    # vocab-wide top-k via the TPU-optimized PartialReduce (exact at
+    # recall_target=1.0, much cheaper than a full sort over V)
+    row_logp, row_tok = jax.lax.approx_max_k(logp, k_beam,
+                                             recall_target=1.0)   # (K, K)
     cu = row_logp + state.scores[:, None]                         # (K, K)
 
     flat_base = k_beam + l * k_beam * k_beam
@@ -122,7 +125,7 @@ def _init_beam(p: EagleParams, head: jax.Array, root_hidden: jax.Array,
     logits = jnp.einsum("h,hv->v", root_hidden, head,
                         preferred_element_type=jnp.float32)
     logp = jax.nn.log_softmax(logits)
-    sc, tok = jax.lax.top_k(logp, k_beam)
+    sc, tok = jax.lax.approx_max_k(logp, k_beam, recall_target=1.0)
 
     cand_tokens = jnp.full((m,), -1, jnp.int32).at[:k_beam].set(
         tok.astype(jnp.int32))

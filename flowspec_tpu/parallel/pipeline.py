@@ -813,7 +813,8 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
                 logits = jnp.einsum("kh,hv->kv", out_h, params.lm_head,
                                     preferred_element_type=jnp.float32)
                 logp = jax.nn.log_softmax(logits, axis=-1)
-                row_logp, row_tok = jax.lax.top_k(logp, k_pd)
+                row_logp, row_tok = jax.lax.approx_max_k(
+                    logp, k_pd, recall_target=1.0)
                 cu = row_logp + jnp.where(fv, t.scores[sf], -jnp.inf)[:, None]
                 top_sc, sel = jax.lax.top_k(cu.reshape(-1), k_pd)
                 b = sel // k_pd
