@@ -28,8 +28,8 @@ def main():
     model_kind = os.environ.get("BENCH_MODEL", "7b")
     n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
     mode = os.environ.get("BENCH_MODE", "spec")
-    quant = os.environ.get("BENCH_QUANT", "int8" if model_kind == "7b"
-                           else "none")
+    quant = os.environ.get("BENCH_QUANT",
+                           "int8" if model_kind in ("7b", "13b") else "none")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
 
     import jax
@@ -49,6 +49,10 @@ def main():
     if model_kind == "7b":
         mc = ModelConfig.llama_7b()
         max_seq = 1152
+    elif model_kind == "13b":
+        # 13GB of int8 weights: bound the context so KV + transients fit 16GB
+        mc = ModelConfig.llama_13b()
+        max_seq = 512
     elif model_kind == "1b":
         mc = ModelConfig(hidden_size=2048, intermediate_size=5504,
                          num_hidden_layers=16, num_attention_heads=16,

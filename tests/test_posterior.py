@@ -6,10 +6,11 @@ import jax.numpy as jnp
 import pytest
 
 from flowspec_tpu.config import SamplingConfig
-from flowspec_tpu.tree.posterior import (
-    evaluate_posterior_greedy, evaluate_posterior_stochastic,
+from tests.helpers import (
+    CAPS, to_token_tree,
+    j_greedy as evaluate_posterior_greedy,
+    j_stochastic as evaluate_posterior_stochastic,
 )
-from tests.helpers import CAPS, to_token_tree
 from tests.oracle import (
     NaiveTree, random_tree, evaluate_posterior_greedy as np_greedy,
 )

@@ -3,11 +3,11 @@
 import numpy as np
 import jax.numpy as jnp
 
-from flowspec_tpu.tree.prune import (
-    compute_pruning_info, prune_tree, kv_keep_positions,
+from tests.helpers import (
+    CAPS, to_token_tree, retrieve_rows,
+    j_pruning_info as compute_pruning_info, j_prune_tree as prune_tree,
+    j_merge_trees as merge_trees, j_kv_keep as kv_keep_positions,
 )
-from flowspec_tpu.tree.merge import merge_trees
-from tests.helpers import CAPS, to_token_tree, retrieve_rows
 from tests.oracle import (
     NaiveTree, random_tree, pruning_info as np_pruning_info,
     prune as np_prune, merge as np_merge,

@@ -9,11 +9,12 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from flowspec_tpu.tree.types import ancestor_matrix, depths_from_parents
-from flowspec_tpu.tree.partition import (
-    partition_lengths, retrieve_cum_depths, split_close_equal,
+from tests.helpers import (
+    CAPS, to_token_tree, retrieve_rows,
+    j_ancestor as ancestor_matrix, j_depths as depths_from_parents,
+    j_partition as partition_lengths, j_cum_depths as retrieve_cum_depths,
+    j_split as split_close_equal,
 )
-from tests.helpers import CAPS, to_token_tree, retrieve_rows
 from tests.oracle import NaiveTree, random_tree, partition_lengths as np_partition, cum_depths as np_cum_depths
 
 
