@@ -55,8 +55,7 @@ class BatchedSpecEngine(SpecEngine):
                 _spec_decode_loop, cfg=cfg.model, tree_cfg=cfg.tree,
                 sampling=cfg.sampling, max_out=max_out)
             self._vloops[max_out] = jax.jit(
-                jax.vmap(f, in_axes=(0, None, None, None, None)),
-                donate_argnums=(0,))
+                jax.vmap(f, in_axes=(0, None, None, None, None)))
         return self._vloops[max_out]
 
     # ------------------------------------------------------------------

@@ -80,12 +80,14 @@ class SpecEngine:
             donate_argnums=(0,))
         self._ar_step = jax.jit(functools.partial(
             _ar_step, cfg=mc, sampling=cfg.sampling), donate_argnums=(0,))
+        # the fused loops return only token buffers (state stays on device
+        # inside the while carry), so input donation has nothing to alias
         self._spec_loop = jax.jit(functools.partial(
             _spec_decode_loop, cfg=mc, tree_cfg=tc, sampling=cfg.sampling),
-            static_argnames=("max_out",), donate_argnums=(0,))
+            static_argnames=("max_out",))
         self._ar_loop = jax.jit(functools.partial(
             _ar_decode_loop, cfg=mc, sampling=cfg.sampling),
-            static_argnames=("max_out",), donate_argnums=(0,))
+            static_argnames=("max_out",))
 
     # ---- state setup -----------------------------------------------------
     def init_state(self, seed: int = 0) -> EngineState:
