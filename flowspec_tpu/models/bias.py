@@ -45,4 +45,11 @@ def tree_bias(anc_bias_rows: jax.Array, tree_base: jax.Array,
     tree_col = jnp.clip(j - tree_base, 0, n_cap - 1)
     tree_part = jnp.take_along_axis(
         anc_bias_rows, jnp.broadcast_to(tree_col, (t, s_max)), axis=1)
-    return jnp.where(j < tree_base, 0.0, tree_part).astype(dtype)
+    # Columns past the tree region hold stale KV from earlier rounds and must
+    # be masked: without the upper bound they clamp to tree column n_cap-1,
+    # whose own query row (bias 0 to itself) would attend every stale column
+    # when the tree fills its last slot (advisor finding r1-medium; mirrors
+    # the beam bias bound in draft/beam.py `ok & (j < ctx_end + LVLS*K)`).
+    return jnp.where(j < tree_base, 0.0,
+                     jnp.where(j < tree_base + n_cap, tree_part,
+                               NEG_INF)).astype(dtype)

@@ -65,7 +65,12 @@ class SpecEngine:
         self.cfg = cfg
         mc = cfg.model
         tc = cfg.tree
-        self.ctx_pad = tc.depth_cap + 1
+        # Pending draft-pair buffers must hold a full prefill chunk: the last
+        # prompt chunk's (next_token, hidden) pairs stay queued until the
+        # first spec round drains them (and the sampled root is patched into
+        # the final slot). Sizing them to depth_cap+1 alone silently dropped
+        # pairs for prompts longer than depth_cap+1 (advisor finding r1-high).
+        self.ctx_pad = max(tc.depth_cap + 1, cfg.prefill_chunk)
         max_levels = tc.depth + tc.expand_depth
         self.draft_kv_len = cfg.max_seq_len + max_levels * tc.top_k
         self.base_kv_len = cfg.max_seq_len + tc.node_cap
@@ -116,6 +121,7 @@ class SpecEngine:
         c = self.cfg.prefill_chunk
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         p = len(prompt)
+        assert c <= self.ctx_pad, (c, self.ctx_pad)
         n_chunks = max(1, -(-p // c))
         padded = np.full((n_chunks * c,), 0, np.int32)
         padded[:p] = prompt
@@ -141,11 +147,27 @@ class SpecEngine:
                                     pending_tokens=pt)
         return state
 
+    def _check_budget(self, prompt, max_new: int):
+        """The KV allocation is max_seq_len + node_cap rows; tree chunks are
+        written at [commit, commit + node_cap), so commit may never exceed
+        max_seq_len — dynamic_update_slice would silently clamp the write
+        start and overwrite the newest valid rows (advisor finding r1-low).
+        commit can overshoot max_new by up to depth_cap in the final round."""
+        tc = self.cfg.tree
+        limit = self.cfg.max_seq_len
+        need = len(np.asarray(prompt).reshape(-1)) + max_new + tc.depth_cap + 1
+        if need > limit:
+            raise ValueError(
+                f"prompt+max_new+depth_cap = {need} exceeds max_seq_len "
+                f"{limit}; raise EngineConfig.max_seq_len or shorten the "
+                "request")
+
     # ---- decoding --------------------------------------------------------
     def generate(self, prompt, max_new_tokens: Optional[int] = None,
                  eos_token_id: int = 2, seed: int = 0):
         """Returns (tokens list incl prompt, stats dict)."""
         max_new = max_new_tokens or self.cfg.max_new_tokens
+        self._check_budget(prompt, max_new)
         state = self.init_state(seed)
         state = self.prefill(state, prompt)
         out = list(np.asarray(prompt, np.int64))
@@ -174,6 +196,7 @@ class SpecEngine:
         This is the production path: per-round host dispatch costs one RPC
         to the accelerator, which dominates at small round times."""
         max_new = max_new_tokens or self.cfg.max_new_tokens
+        self._check_budget(prompt, max_new)
         state = self.init_state(seed)
         state = self.prefill(state, prompt)
         out_buf, n_out, rounds = self._spec_loop(
@@ -196,6 +219,7 @@ class SpecEngine:
     def generate_ar_fused(self, prompt, max_new_tokens: Optional[int] = None,
                           eos_token_id: int = 2, seed: int = 0):
         max_new = max_new_tokens or self.cfg.max_new_tokens
+        self._check_budget(prompt, max_new)
         state = self.init_state(seed)
         state = self.prefill(state, prompt)
         out_buf, n_out = self._ar_loop(
@@ -210,6 +234,7 @@ class SpecEngine:
         """Plain autoregressive baseline (ref `ar` schedule,
         stage_ea_model.py:558-601)."""
         max_new = max_new_tokens or self.cfg.max_new_tokens
+        self._check_budget(prompt, max_new)
         state = self.init_state(seed)
         state = self.prefill(state, prompt)
         out = list(np.asarray(prompt, np.int64))
@@ -328,7 +353,9 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
     else:
         res = evaluate_posterior_stochastic(
             node_logits, tree, sampling, k1,
-            max_trials=min(4 * tree_cfg.top_k, tree_cfg.leaf_cap))
+            # single-chip trees are always freshly drafted (never merged), so
+            # a node has at most top_k distinct children; 2x is headroom
+            max_trials=min(2 * tree_cfg.top_k, tree_cfg.leaf_cap))
     new_root = sample_token(k2, res.sample_p, sampling, is_probs=True)
 
     # 4. commit: path nodes [root, a_1..a_k]

@@ -88,3 +88,48 @@ def test_stochastic_runs_and_matches_context():
     assert len(gen) == 30
     assert all(0 <= t < 32 for t in gen)
     assert stats["accept_per_round"] >= 1.0
+
+
+def test_prefill_keeps_all_draft_pairs():
+    """Prompts longer than depth_cap+1 must not lose draft (token, hidden)
+    pairs: the pending buffers are sized to the prefill chunk and the sampled
+    root is patched into the final valid slot (advisor finding r1-high —
+    ctx_pad=depth_cap+1 buffers silently truncated real prompts' draft
+    conditioning, collapsing acceptance)."""
+    eng = _make_engine(seed=4)
+    d_cap = eng.cfg.tree.depth_cap
+    pc = eng.cfg.prefill_chunk
+    assert pc > d_cap + 1, "test config must exercise the long-chunk case"
+
+    # single full chunk
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(3, 30, pc).tolist()
+    state = eng.init_state(0)
+    state = eng.prefill(state, prompt)
+    assert int(state.n_pending) == pc
+    pt = np.asarray(state.pending_tokens)
+    np.testing.assert_array_equal(pt[:pc - 1], np.asarray(prompt[1:], np.int32))
+    assert pt[pc - 1] == int(state.root_token)   # root patch landed in-bounds
+    ph = np.asarray(state.pending_hidden)[0]
+    assert float(np.abs(ph[:pc]).sum(axis=-1).min()) > 0
+
+    # multi-chunk: 1.5 chunks — first chunk drained, second fully pending
+    prompt2 = rng.integers(3, 30, pc + pc // 2).tolist()
+    state = eng.init_state(0)
+    state = eng.prefill(state, prompt2)
+    n2 = pc // 2
+    assert int(state.n_pending) == n2
+    pt2 = np.asarray(state.pending_tokens)
+    np.testing.assert_array_equal(
+        pt2[:n2 - 1], np.asarray(prompt2[pc + 1:], np.int32))
+    assert pt2[n2 - 1] == int(state.root_token)
+    # the first chunk's pairs advanced the draft KV
+    assert int(state.draft_cache.length) == pc
+
+
+def test_generate_rejects_overlong_request():
+    eng = _make_engine(seed=5)
+    limit = eng.cfg.max_seq_len
+    prompt = list(range(3, 13))
+    with pytest.raises(ValueError):
+        eng.generate(prompt, max_new_tokens=limit)

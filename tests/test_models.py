@@ -187,3 +187,26 @@ def test_kv_compact():
     np.testing.assert_array_equal(k_new[:, :, :, :3], k_old[:, :, :, :3])
     np.testing.assert_array_equal(k_new[:, :, :, 3], k_old[:, :, :, 5])
     np.testing.assert_array_equal(k_new[:, :, :, 4], k_old[:, :, :, 7])
+
+
+def test_tree_bias_masks_past_tree_region():
+    """Columns at/after tree_base + node_cap hold stale KV from earlier
+    rounds and must be -inf for EVERY query row — including node n_cap-1,
+    whose self-bias (0) used to leak through the column clamp when the tree
+    occupied its last slot (advisor finding r1-medium)."""
+    from flowspec_tpu.tree.types import NEG_INF
+    n_cap = 8
+    tree_base = 5
+    # full tree: a chain occupying all n_cap slots
+    parents = jnp.asarray([-1, 0, 1, 2, 3, 4, 5, 6], jnp.int32)
+    valid = jnp.ones((n_cap,), jnp.bool_)
+    rows = tree_attention_bias(parents, 8, valid)      # (8, 8)
+    bias = np.asarray(tree_bias(rows, jnp.asarray(tree_base),
+                                jnp.asarray(0), 32))
+    # committed context fully attendable
+    assert (bias[:, :tree_base] == 0.0).all()
+    # tree region follows the ancestor rows
+    ref = np.asarray(rows)
+    np.testing.assert_array_equal(bias[:, tree_base:tree_base + n_cap], ref)
+    # everything past the tree region is masked for every row
+    assert (bias[:, tree_base + n_cap:] <= NEG_INF).all()
