@@ -35,6 +35,28 @@ class TreeConfig:
     none_expand_depth: int = 2
     # Chunking for the pipeline (ref: pipeline_utils.py:673-715).
     chunk_len: int = 16
+    # Score-sorted node order (ref: eagle/cnets.py:856-866, draft_gen_sort_score,
+    # default True for pruned/continuous): nodes are laid out by descending
+    # cumulative log-prob instead of BFS, so chunk 0 — the first to reach a
+    # verdict — carries the highest-probability (most-likely-accepted) paths.
+    # Ancestor-before-descendant ordering is preserved because cumulative
+    # log-probs are monotone non-increasing along paths.
+    sort_score: bool = True
+    # Cap on each appended chunk after a merge (ref: expand_subseq_token,
+    # config/run_config.py:133 + stage_ea_model.py:1380-1385). -1 = uncapped
+    # (the reference default): the whole appended node set queues as one
+    # chunk. >0: appended nodes split into ceil(n/cap) queue entries so one
+    # oversized chunk never raises per-turn latency for the stages behind it.
+    # TPU note: the pipeline's flight buffers are statically padded to the
+    # largest possible chunk, so an uncapped append makes EVERY turn pay for
+    # an expand_tokens-row forward — capping at chunk_len is strictly better
+    # here and is the default.
+    expand_chunk_len: int = 16
+    # No-completion expansion (ref none_expand, run_config.py:175-179 — default
+    # True for continuous): on pipeline-bubble turns (no chunk completed), the
+    # draft deepens its *saved* beam by `none_expand_depth` levels and merges
+    # the top `none_expand_tokens` new nodes instead of idling.
+    none_expand: bool = True
 
     # ---- Static capacities (TPU-only concept) ----
     # Max nodes a (merged) tree can ever hold, incl. root. Initial 81 nodes +

@@ -186,7 +186,7 @@ def topk_generate(p: EagleParams, head: jax.Array, cache: KVCache,
     tree = build_tree(state.cand_tokens, state.cand_scores,
                       state.cand_parents, sel, root_token,
                       tree_cfg.node_cap, tree_cfg.leaf_cap,
-                      tree_cfg.depth_cap)
+                      tree_cfg.depth_cap, sort_score=tree_cfg.sort_score)
     state = dataclasses.replace(state, selected=sel)
     new_cache = KVCache(k=ck[None], v=cv[None], length=cache.length)
     return tree, state, new_cache
@@ -222,7 +222,7 @@ def expand_tree(p: EagleParams, head: jax.Array, cache: KVCache,
     tree = build_tree(state2.cand_tokens, state2.cand_scores,
                       state2.cand_parents, new_sel, root_token,
                       tree_cfg.node_cap, tree_cfg.leaf_cap,
-                      tree_cfg.depth_cap)
+                      tree_cfg.depth_cap, sort_score=tree_cfg.sort_score)
     state2 = dataclasses.replace(state2, selected=new_sel)
     new_cache = KVCache(k=ck[None], v=cv[None], length=cache.length)
     return tree, state2, new_cache

@@ -46,7 +46,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flowspec_tpu.config import EngineConfig
-from flowspec_tpu.draft.beam import topk_generate
+from flowspec_tpu.draft.beam import BeamState, expand_tree, topk_generate
 from flowspec_tpu.draft.eagle import (
     EagleParams, draft_context_forward, eagle_layer, fuse,
 )
@@ -94,6 +94,9 @@ class RoundOut(NamedTuple):
     out_tokens: jax.Array   # (OUT_CAP,)
     n_out: jax.Array
     turns: jax.Array
+    skips: jax.Array        # bubble turns (no chunk completed) — ref
+                            # skip_count, stage_ea_model.py:454-455
+    ne_fires: jax.Array     # none_expand expansions taken on bubble turns
 
 
 def _right_perm(p):
@@ -135,7 +138,14 @@ class _Carry(NamedTuple):
     pend_hid: jax.Array
     pend_n: jax.Array
     turn: jax.Array
+    skips: jax.Array
+    ne_fires: jax.Array
     alive: jax.Array
+    # saved draft beam for no-completion expansion (ref none_expand,
+    # stage_ea_model.py:1347-1382): refreshed by every re-draft, deepened by
+    # expand_tree on bubble turns
+    beam: BeamState
+    beam_ok: jax.Array       # bool — beam matches the current tree root
     # per-stage local
     kv: KVCache
     kv_tree_len: jax.Array   # tree nodes this stage has written to its kv
@@ -171,7 +181,17 @@ class PipelineEngine:
                 mx = -(-n0 // p_stages)
             else:
                 mx = max(tc.chunk_len, n0 - tc.chunk_len * p_stages)
-            self.c_buf = max(mx, tc.chunk_len) + 1
+            # appended chunks after a merge can reach the append cap (or the
+            # whole expand when uncapped) — the flight buffer must hold them
+            app_max = 0
+            if schedule == "continuous":
+                if tc.expand_chunk_len > 0:
+                    app_max = tc.expand_chunk_len
+                else:
+                    app_max = max(tc.expand_tokens,
+                                  tc.none_expand_tokens if tc.none_expand
+                                  else 0)
+            self.c_buf = max(mx, tc.chunk_len, app_max) + 1
         self.ctx = tc.depth_cap + 1
         self.out_cap = 4 * tc.node_cap
         self.max_turns = 64
@@ -206,21 +226,16 @@ class PipelineEngine:
             functools.partial(_pipeline_round, **round_kw),
             mesh=mesh,
             in_specs=(pspec, dspec, sspec, P(), P()),
-            out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P())),
+            out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P(),
+                                       skips=P(), ne_fires=P())),
             check_vma=False), donate_argnums=(2,))
         self._decode_loop = jax.jit(jax.shard_map(
             functools.partial(_pipeline_decode_loop, **round_kw),
             mesh=mesh,
             in_specs=(pspec, dspec, sspec, P(), P()),
-            out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P())),
+            out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P(),
+                                       skips=P(), ne_fires=P())),
             check_vma=False), donate_argnums=(2,))
-        self._prefill_turn = jax.jit(jax.shard_map(
-            functools.partial(_prefill_turn, mc=mc, p=p_stages,
-                              pc=cfg.prefill_chunk),
-            mesh=mesh,
-            in_specs=(pspec, sspec, fspec, P(), P(), P()),
-            out_specs=(sspec, fspec, P(), P()),
-            check_vma=False), donate_argnums=(1,))             if True else self._prefill_turn
 
     # ------------------------------------------------------------------
     def _shard_params(self, params):
@@ -371,7 +386,8 @@ class PipelineEngine:
             if int(t) == eos_token_id or new_tokens >= max_new:
                 break
         return out, {"new_tokens": new_tokens, "turns": int(res.turns),
-                     "rounds": -1,
+                     "rounds": -1, "skips": int(res.skips),
+                     "ne_fires": int(res.ne_fires),
                      "accept_per_round": float("nan")}
 
     def generate(self, prompt, max_new_tokens=None, eos_token_id=2,
@@ -383,6 +399,8 @@ class PipelineEngine:
         new_tokens = 0
         rounds = 0
         turns_total = 0
+        skips_total = 0
+        ne_total = 0
         while new_tokens < max_new:
             state, res = self._round(
                 self.params, self.draft, state,
@@ -390,6 +408,8 @@ class PipelineEngine:
                 jnp.asarray(max_new - new_tokens, jnp.int32))
             rounds += 1
             turns_total += int(res.turns)
+            skips_total += int(res.skips)
+            ne_total += int(res.ne_fires)
             acc = np.asarray(res.out_tokens)[:int(res.n_out)]
             stop = False
             for t in acc:
@@ -401,7 +421,8 @@ class PipelineEngine:
             if stop or int(res.n_out) == 0:
                 break
         return out, {"new_tokens": new_tokens, "rounds": rounds,
-                     "turns": turns_total,
+                     "turns": turns_total, "skips": skips_total,
+                     "ne_fires": ne_total,
                      "accept_per_round": new_tokens / max(rounds, 1)}
 
 
@@ -447,6 +468,29 @@ def _draft_drain(draft, state: PipeState, toks, hid, n_valid, *, mc):
     return dataclasses.replace(state, draft_cache=dc)
 
 
+def _queue_appended(lens, n_chunks, n_app, cap: int, s_cap: int):
+    """Queue `n_app` appended nodes as pipeline chunks. With cap <= 0 (the
+    reference's expand_subseq_token = -1 default) they form one chunk;
+    otherwise they split into ceil(n_app / cap) entries of <= cap nodes each
+    (ref stage_ea_model.py:1380-1385 caps the sent chunk and carries the
+    remainder as waiting draft — here the remainder entries queue directly
+    and stage 0 injects them one per turn). Returns (lens', n_chunks', ok):
+    ok=False (queue would overflow, or nothing to append) leaves the queue
+    untouched — the caller must then also skip the merge."""
+    q = jnp.arange(lens.shape[0], dtype=jnp.int32)
+    k = q - n_chunks
+    if cap > 0:
+        n_new = -(-n_app // cap)
+        entry = jnp.clip(n_app - k * cap, 0, cap)
+    else:
+        n_new = jnp.where(n_app > 0, 1, 0).astype(jnp.int32)
+        entry = jnp.where(k == 0, n_app, 0)
+    ok = (n_app > 0) & (n_chunks + n_new <= s_cap)
+    lens2 = jnp.where(ok & (k >= 0) & (k < n_new), entry, lens)
+    nch2 = jnp.where(ok, n_chunks + n_new, n_chunks)
+    return lens2, nch2, ok
+
+
 def _forward_chunk(params, kv, tree: TokenTree, fl: Flight, commit, c_buf,
                    mc):
     """Run my layer shard over an in-flight chunk (contiguous node ids)."""
@@ -489,11 +533,11 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
         # depth-synchronous growth: start with a single level (ref
         # draft_init_pipedec, stage_ea_model.py:254-366 grows one level per
         # turn; here the expansion block adds levels in-loop)
-        tree, _, dcache = topk_generate(
+        tree, beam0, dcache = topk_generate(
             draft, params.lm_head, dcache, state.root_token, root_hidden,
             tc, mc, num_select=tc.top_k, depth=0, max_levels=max_levels)
     else:
-        tree, _, dcache = topk_generate(
+        tree, beam0, dcache = topk_generate(
             draft, params.lm_head, dcache, state.root_token, root_hidden,
             tc, mc, num_select=0 if schedule == "ar" else None,
             max_levels=max_levels)
@@ -527,7 +571,11 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
         pend_hid=jnp.zeros((1, ctx, h_dim), dt),
         pend_n=jnp.zeros((), jnp.int32),
         turn=jnp.zeros((), jnp.int32),
+        skips=jnp.zeros((), jnp.int32),
+        ne_fires=jnp.zeros((), jnp.int32),
         alive=jnp.asarray(True),
+        beam=beam0,
+        beam_ok=jnp.asarray(do_expand and tc.none_expand),
         kv=state.kv, kv_tree_len=jnp.zeros((), jnp.int32),
         out=empty_flight)
 
@@ -585,7 +633,11 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
             else:
                 res = evaluate_posterior_stochastic(
                     vlogits, vtree, sampling, k1,
-                    max_trials=min(4 * tc.top_k, tc.leaf_cap))
+                    # exact sibling-trial bound: merged continuous trees can
+                    # give a node more than 4*top_k distinct children across
+                    # merge generations, and silently skipped siblings would
+                    # bias the sampling law (advisor finding r1-low)
+                    max_trials=tc.leaf_cap)
             new_root_tok = sample_token(k2, res.sample_p, sampling,
                                         is_probs=True)
             n_acc = res.accept_len + 1
@@ -674,34 +726,36 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
             # ---- drain pairs (+ expansion) — skipped on truncate so the
             # pairs stay pending for the next round's initial draft ----
             def with_expand(args):
-                (dcache, tree2_in, lens_in, n_chunks_in) = args
+                (dcache, tree2_in, lens_in, n_chunks_in, beam_in, bok_in) = args
                 d_out2, dc2 = draft_context_forward(
                     draft, dcache, pair_tok_p, pair_hid_p, dcache.length,
                     n_acc, mc)
                 rh = d_out2[0, jnp.clip(n_acc - 1, 0, ctx - 1)]
-                fresh, _, dc2 = topk_generate(
+                # re-draft size follows the reference's expand_total_token=64
+                # (run_config.py:131), not the chunk length — the appended
+                # set is then re-split into <= expand_chunk_len chunks below
+                fresh, beam2, dc2 = topk_generate(
                     draft, params.lm_head, dc2, new_root_tok, rh, tc, mc,
-                    num_select=tc.chunk_len, depth=tc.expand_depth,
+                    num_select=tc.expand_tokens, depth=tc.expand_depth,
                     max_levels=max_levels)
                 mr = merge_trees(tree2_in, fresh)
-                can_queue = (n_chunks_in < s_cap) & (mr.n_appended > 0)
-                lens3 = jnp.where(
-                    can_queue,
-                    lens_in.at[jnp.clip(n_chunks_in, 0, s_cap - 1)].set(
-                        mr.n_appended),
-                    lens_in)
-                nch3 = jnp.where(can_queue, n_chunks_in + 1, n_chunks_in)
+                lens3, nch3, can_queue = _queue_appended(
+                    lens_in, jnp.maximum(n_chunks_in, 0), mr.n_appended,
+                    tc.expand_chunk_len, s_cap)
                 t3 = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(can_queue, a, b), mr.tree,
                     tree2_in)
-                return dc2, t3, lens3, nch3
+                # the fresh beam is rooted at the new root whether or not
+                # its appended nodes fit the queue this turn
+                return dc2, t3, lens3, nch3, beam2, \
+                    jnp.asarray(tc.none_expand)
 
             def drain_only(args):
-                (dcache, tree2_in, lens_in, n_chunks_in) = args
+                (dcache, tree2_in, lens_in, n_chunks_in, beam_in, bok_in) = args
                 _, dc2 = draft_context_forward(
                     draft, dcache, pair_tok_p, pair_hid_p, dcache.length,
                     n_acc, mc)
-                return dc2, tree2_in, lens_in, n_chunks_in
+                return dc2, tree2_in, lens_in, n_chunks_in, beam_in, bok_in
 
             def pipedec_drain(args):
                 # The draft KV mirrors the base layout for pipedec: ctx pairs
@@ -711,7 +765,7 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
                 # drained (their exact ctx-pair K/V overwriting the
                 # tree-drafted versions), and the kept rows are then written
                 # at dctx+n_acc — over the drain's padding, never under it.
-                (dcache, tree2_in, lens_in, n_chunks_in) = args
+                (dcache, tree2_in, lens_in, n_chunks_in, beam_in, bok_in) = args
                 dctx = dcache.length
                 keep_src = jnp.clip(info.kept_old_ids, 0, n_cap - 1) + dctx
                 kk_ = jnp.take(dcache.k, keep_src, axis=3)
@@ -723,16 +777,16 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
                 new_v = jax.lax.dynamic_update_slice(
                     dc2.v, kv_, (0, 0, 0, dctx + n_acc, 0))
                 dc2 = KVCache(k=new_k, v=new_v, length=dctx + n_acc)
-                return dc2, tree2_in, lens_in, n_chunks_in
+                return dc2, tree2_in, lens_in, n_chunks_in, beam_in, bok_in
 
             def no_drain(args):
                 return args
 
             args = (c.draft_cache, new_tree, lens2,
-                    jnp.maximum(n_chunks, 0))
+                    jnp.maximum(n_chunks, 0), c.beam, c.beam_ok)
             live_fn = (with_expand if do_expand
                        else (pipedec_drain if pipedec else drain_only))
-            dcache2, tree3, lens3, nch3 = jax.lax.cond(
+            dcache2, tree3, lens3, nch3, beam3, bok3 = jax.lax.cond(
                 truncate, no_drain, live_fn, args)
             vh3, vl3, vc3 = vhid2, vlog2, verified2
 
@@ -746,6 +800,7 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
                 truncate=truncate, sampled_root=new_root_tok,
                 pend_tok=pair_tok_p, pend_hid=pair_hid_p,
                 pend_n=jnp.where(truncate, n_acc, jnp.zeros((), jnp.int32)),
+                beam=beam3, beam_ok=bok3,
                 kv=kv, kv_tree_len=kv_tree_len,
                 out=c.out), inc2
 
@@ -759,6 +814,44 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
         c2, inc2 = jax.lax.cond(
             do_verdict, verdict_branch, skip_branch,
             c, lens, n_chunks, next_inject, verified, vhidden, vlogits)
+
+        if do_expand and tc.none_expand:
+            # ---- no-completion expansion (ref none_expand,
+            # stage_ea_model.py:1347-1382 + eagle/cnets.py:1439-1708): on a
+            # bubble turn the draft stage deepens the saved beam by
+            # none_expand_depth levels, force-includes the previous node set
+            # and tops up with the best none_expand_tokens NEW candidates;
+            # the merge then appends exactly those new nodes. Gated on
+            # commit growth (>= one verdict happened this round) — in the
+            # reference, fill-phase turns never reach the expansion branch
+            # (fill happens before the loop), so the first expansion can
+            # only follow the first verdict.
+            def ne_expand(c2):
+                tree_x, beam2, dc2 = expand_tree(
+                    draft, params.lm_head, c2.draft_cache, c2.beam,
+                    c2.tree.tokens[0], tc, mc,
+                    extra_depth=tc.none_expand_depth,
+                    expand_size=tc.none_expand_tokens,
+                    max_levels=max_levels)
+                mr = merge_trees(c2.tree, tree_x)
+                lens_, nch_, okq = _queue_appended(
+                    c2.lens, jnp.maximum(c2.n_chunks, 0), mr.n_appended,
+                    tc.expand_chunk_len, s_cap)
+                sel = lambda a, b: jnp.where(okq, a, b)
+                return c2._replace(
+                    tree=jax.tree_util.tree_map(sel, mr.tree, c2.tree),
+                    lens=lens_, n_chunks=nch_,
+                    draft_cache=jax.tree_util.tree_map(
+                        sel, dc2, c2.draft_cache),
+                    beam=jax.tree_util.tree_map(sel, beam2, c2.beam))
+
+            can_ne = (~do_verdict & ~c2.truncate & c2.beam_ok &
+                      (c2.commit > state.commit_len) &
+                      (c2.beam.level + tc.none_expand_depth <= max_levels) &
+                      (c2.tree.n_nodes < n_cap))
+            c2 = jax.lax.cond(can_ne, ne_expand, lambda c_: c_, c2)
+            c2 = c2._replace(ne_fires=c2.ne_fires +
+                             jnp.where(can_ne, 1, 0))
 
         if pipedec:
             # ---- depth-synchronous expansion: grow ONE level per turn ----
@@ -889,6 +982,7 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
         return c2._replace(
             next_inject=next_inject2,
             turn=c.turn + 1,
+            skips=c.skips + jnp.where(do_verdict, 0, 1),
             alive=alive,
             kv=kv2, kv_tree_len=kv_tree_len2,
             out=out_fl)
@@ -909,7 +1003,8 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
         pend_n=final.pend_n,
         key=final.key)
     return new_state, RoundOut(out_tokens=final.out_tokens,
-                               n_out=final.n_out, turns=final.turn)
+                               n_out=final.n_out, turns=final.turn,
+                               skips=final.skips, ne_fires=final.ne_fires)
 
 
 def _pipeline_decode_loop(params, draft, state: PipeState, eos_id, budget, *,
@@ -927,11 +1022,11 @@ def _pipeline_decode_loop(params, draft, state: PipeState, eos_id, budget, *,
             max_levels=max_levels)
 
     def cond(carry):
-        _, _, n_out, done, _ = carry
+        _, _, n_out, done, _, _, _ = carry
         return ~done & (n_out < budget)
 
     def body(carry):
-        st, out, n_out, done, turns = carry
+        st, out, n_out, done, turns, skips, ne = carry
         st2, res = round_fn(st, budget - n_out)
         i = jnp.arange(out_cap, dtype=jnp.int32)
         pv = i < res.n_out
@@ -941,11 +1036,13 @@ def _pipeline_decode_loop(params, draft, state: PipeState, eos_id, budget, *,
         eos_hit = jnp.any(pv & (res.out_tokens == eos_id) & (eos_id >= 0))
         stalled = res.n_out <= 0
         return (st2, out2, n_out + res.n_out, done | eos_hit | stalled,
-                turns + res.turns)
+                turns + res.turns, skips + res.skips, ne + res.ne_fires)
 
     init = (state, jnp.zeros((buf_cap,), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.asarray(False),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32))
-    st, out, n_out, _, turns = jax.lax.while_loop(cond, body, init)
+    st, out, n_out, _, turns, skips, ne = jax.lax.while_loop(cond, body, init)
     return st, RoundOut(out_tokens=out[:out_cap] if buf_cap != out_cap
-                        else out, n_out=n_out, turns=turns)
+                        else out, n_out=n_out, turns=turns, skips=skips,
+                        ne_fires=ne)

@@ -46,11 +46,15 @@ def build_tree(
     node_cap: int,
     leaf_cap: int,
     depth_cap: int,
+    sort_score: bool = False,
 ) -> TokenTree:
     """Assemble the tree from a selection mask. Selected candidates become
-    nodes 1..n in ascending flat-index order (level-major == BFS, parents
-    before children). Selections beyond node_cap-1 are dropped lowest-score
-    first."""
+    nodes 1..n, ordered by ascending flat index (level-major == BFS) or, with
+    `sort_score` (ref eagle/cnets.py:856-866), by descending cumulative score
+    so the first chunk streamed holds the likeliest paths. Both orders keep
+    parents before children: flat ids grow with beam level, and cumulative
+    log-probs are monotone non-increasing along paths with score ties broken
+    by flat id. Selections beyond node_cap-1 are dropped lowest-score first."""
     m = cand_tokens.shape[0]
 
     # Cap selection count at node_cap-1 (drop lowest scores).
@@ -61,7 +65,12 @@ def build_tree(
     selected = selected & (rank < node_cap - 1)
 
     n_sel = jnp.sum(selected).astype(jnp.int32)
-    sel_order = jnp.argsort(~selected, stable=True)     # selected idx ascending
+    if sort_score:
+        # selected first by descending score (stable: ties keep flat order)
+        sel_order = jnp.argsort(-jnp.where(selected, cand_scores, -jnp.inf),
+                                stable=True)
+    else:
+        sel_order = jnp.argsort(~selected, stable=True)  # selected idx asc
     q = jnp.arange(node_cap, dtype=jnp.int32)
     src = sel_order[jnp.clip(q - 1, 0, m - 1)]          # candidate for node q
     in_sel = (q >= 1) & (q <= n_sel)

@@ -149,3 +149,44 @@ def test_high_acceptance_stress():
             out, stats = eng.generate(prompt, max_new_tokens=24,
                                       eos_token_id=-1)
             assert out == ar, (seed, sched, stats)
+
+
+def test_none_expand_fires_and_stays_lossless():
+    """none_expand (ref stage_ea_model.py:1347-1382): on bubble turns the
+    saved beam is deepened and merged instead of idling. Must stay lossless,
+    must actually fire in a bubble-heavy regime, and must not need more
+    rounds than the no-expansion variant (the whole point: rounds last
+    longer, so fewer re-drafts from scratch)."""
+    mc = ModelConfig.tiny(vocab_size=8, n_layers=4)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    rounds = {}
+    p = init_llama_params(jax.random.key(4), mc, dtype=jnp.float32)
+    d = init_eagle_params(jax.random.key(104), mc, embed=p.embed,
+                          dtype=jnp.float32)
+    for ne in (False, True):
+        tc = TreeConfig(top_k=7, depth=5, total_tokens=28, expand_tokens=12,
+                        expand_depth=2, node_cap=64, leaf_cap=64,
+                        depth_cap=14, chunk_len=4, chunk_cap=14,
+                        none_expand=ne)
+        cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                           max_seq_len=256, prefill_chunk=8,
+                           topology=StageTopology.even(4, 4))
+        ref = SpecEngine(p, d, cfg)
+        eng = PipelineEngine(p, d, cfg, schedule="continuous")
+        tot_rounds = 0
+        tot_fires = 0
+        for seed in (5, 6):
+            prompt = list(np.random.default_rng(seed).integers(2, 7, 8))
+            ar, _ = ref.generate_ar(prompt, max_new_tokens=24,
+                                    eos_token_id=-1)
+            out, stats = eng.generate(prompt, max_new_tokens=24,
+                                      eos_token_id=-1)
+            assert out == ar, (ne, seed, stats)
+            tot_rounds += stats["rounds"]
+            tot_fires += stats["ne_fires"]
+        rounds[ne] = tot_rounds
+        if ne:
+            assert tot_fires > 0, "none_expand never fired"
+        else:
+            assert tot_fires == 0
+    assert rounds[True] <= rounds[False], rounds

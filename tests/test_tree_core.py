@@ -107,3 +107,72 @@ def test_cum_depths(trees):
         ref = np_cum_depths(t.retrieve(), lens)
         L = ref.shape[1]
         assert (got[:len(lens), :L] == ref).all()
+
+
+def test_build_tree_sort_score_order():
+    """sort_score (ref eagle/cnets.py:856-866): nodes laid out by descending
+    cumulative score, ancestors still before descendants, same node set as
+    BFS order."""
+    from flowspec_tpu.tree.build import build_tree
+
+    # flat candidate pool: 2 levels of a k=3 beam (3 + 9 candidates)
+    cand_tokens = jnp.asarray([5, 6, 7] + [8, 9, 10, 11, 12, 13, 14, 15, 16],
+                              jnp.int32)
+    cand_scores = jnp.asarray([-1.0, -3.0, -2.0,
+                               -1.5, -4.0, -5.0,   # children of cand 0
+                               -6.0, -7.0, -8.0,   # children of cand 1
+                               -2.5, -9.0, -10.0], jnp.float32)
+    cand_parents = jnp.asarray([-1, -1, -1, 0, 0, 0, 1, 1, 1, 2, 2, 2],
+                               jnp.int32)
+    sel = jnp.asarray([True] * 3 + [True, False, False,
+                       False, False, False, True, False, False])
+    root = jnp.asarray(99, jnp.int32)
+
+    bfs = build_tree(cand_tokens, cand_scores, cand_parents, sel, root,
+                     16, 16, 8, sort_score=False)
+    ss = build_tree(cand_tokens, cand_scores, cand_parents, sel, root,
+                    16, 16, 8, sort_score=True)
+
+    n = int(ss.n_nodes)
+    assert n == int(bfs.n_nodes) == 6
+    tok_ss = np.asarray(ss.tokens)[:n]
+    tok_bfs = np.asarray(bfs.tokens)[:n]
+    assert sorted(tok_ss.tolist()) == sorted(tok_bfs.tolist())
+    # descending score among non-root nodes
+    sc = np.asarray(ss.scores)[1:n]
+    assert (np.diff(sc) <= 1e-6).all(), sc
+    # expected order: root, then -1.0(tok5), -1.5(tok8), -2.0(tok7),
+    # -2.5(tok14), -3.0(tok6)
+    assert tok_ss.tolist() == [99, 5, 8, 7, 14, 6]
+    # parents precede children
+    par = np.asarray(ss.parents)[:n]
+    assert all(par[i] < i for i in range(1, n))
+    # depths consistent: tok8's parent is tok5, tok14's parent is tok7
+    assert tok_ss[par[2]] == 5
+    assert tok_ss[par[4]] == 7
+
+
+def test_queue_appended_split():
+    from flowspec_tpu.parallel.pipeline import _queue_appended
+
+    lens = jnp.zeros((8,), jnp.int32).at[0].set(6).at[1].set(6)
+    nch = jnp.asarray(2, jnp.int32)
+
+    # uncapped: one entry
+    l2, n2, ok = _queue_appended(lens, nch, jnp.asarray(13), -1, 8)
+    assert bool(ok) and int(n2) == 3
+    assert np.asarray(l2).tolist() == [6, 6, 13, 0, 0, 0, 0, 0]
+
+    # capped at 5: 5+5+3
+    l2, n2, ok = _queue_appended(lens, nch, jnp.asarray(13), 5, 8)
+    assert bool(ok) and int(n2) == 5
+    assert np.asarray(l2).tolist() == [6, 6, 5, 5, 3, 0, 0, 0]
+
+    # overflow: would need 3 entries but only 2 slots free
+    l2, n2, ok = _queue_appended(lens, nch, jnp.asarray(13), 5, 4)
+    assert not bool(ok) and int(n2) == 2
+    assert np.asarray(l2).tolist() == np.asarray(lens).tolist()
+
+    # nothing to append
+    l2, n2, ok = _queue_appended(lens, nch, jnp.asarray(0), 5, 8)
+    assert not bool(ok) and int(n2) == 2
