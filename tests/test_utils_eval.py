@@ -84,3 +84,25 @@ def test_profiler_stream_and_summary():
                      "boundary"]
     times = [t for _, t in prof.stream]
     assert times == sorted(times)
+
+
+def test_sweep_cli(tmp_path):
+    """The eval_params-style sweep CLI (ref eval/eval_params.py:196-205) runs
+    a (depth, chunk_len) grid end-to-end on sample questions and writes one
+    summary row per grid point x dataset."""
+    import json
+    from flowspec_tpu.eval.sweep import main
+
+    out = tmp_path / "rows.jsonl"
+    rows = main([
+        "--cpu", "--random", "tiny", "--engine", "single",
+        "--data", "data/qa/question.jsonl",
+        "--limit", "1", "--depths", "3,4", "--expand-depths", "2",
+        "--chunk-lens", "8", "--max-new-tokens", "8",
+        "--out", str(out),
+    ])
+    assert len(rows) == 2
+    assert {r["depth"] for r in rows} == {3, 4}
+    assert all(r["new_tokens"] == 8 for r in rows)
+    disk = [json.loads(l) for l in out.read_text().splitlines()]
+    assert disk == rows
