@@ -24,6 +24,58 @@ import time
 import numpy as np
 
 
+def build_params(mc, quant: str):
+    """(params, draft) for the bench: random weights, generated directly in
+    quantized form when quant != none (avoids holding bf16 + quantized
+    copies simultaneously, which OOMs at 7B)."""
+    import jax
+    import jax.numpy as jnp
+    from flowspec_tpu.draft.eagle import init_eagle_params
+    from flowspec_tpu.models.llama import init_llama_params
+
+    key = jax.random.key(0)
+    if quant != "none":
+        from flowspec_tpu.models.llama import LlamaParams, LlamaLayerParams
+        from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor, NF4_BLOCK
+        h, i, v = mc.hidden_size, mc.intermediate_size, mc.vocab_size
+        L, d = mc.num_hidden_layers, mc.head_dim_
+        nq, nkv = mc.num_attention_heads, mc.num_key_value_heads
+        dt = jnp.dtype(mc.dtype)
+
+        def q_of(k, shape):
+            if quant == "int8":
+                q = jax.random.randint(k, shape, -127, 128, jnp.int8)
+                s = jnp.full(shape[:-2] + shape[-1:],
+                             (shape[-2] ** -0.5) / 127.0, jnp.float32)
+                return Int8Tensor(q=q, scale=s)
+            q = jax.random.randint(k, shape, 0, 16, jnp.uint8)
+            s = jnp.full(shape[:-2] + (shape[-2] // NF4_BLOCK,) + shape[-1:],
+                         shape[-2] ** -0.5, jnp.float32)
+            return NF4Tensor(q=q, scale=s)
+
+        ks = jax.random.split(jax.random.key(7), 10)
+        layers = LlamaLayerParams(
+            wq=q_of(ks[0], (L, h, nq * d)), wk=q_of(ks[1], (L, h, nkv * d)),
+            wv=q_of(ks[2], (L, h, nkv * d)), wo=q_of(ks[3], (L, nq * d, h)),
+            bq=jnp.zeros((L, nq * d), dt), bk=jnp.zeros((L, nkv * d), dt),
+            bv=jnp.zeros((L, nkv * d), dt),
+            w_gate=q_of(ks[4], (L, h, i)), w_up=q_of(ks[5], (L, h, i)),
+            w_down=q_of(ks[6], (L, i, h)),
+            input_ln=jnp.ones((L, h), dt), post_ln=jnp.ones((L, h), dt))
+        params = LlamaParams(
+            embed=jax.random.normal(ks[7], (v, h), dt) * 0.02,
+            layers=layers,
+            final_norm=jnp.ones((h,), dt),
+            lm_head=jax.random.normal(ks[8], (h, v), dt) * h ** -0.5)
+    else:
+        params = init_llama_params(key, mc)
+    draft = init_eagle_params(jax.random.key(1), mc, embed=params.embed)
+    if quant != "none":
+        from flowspec_tpu.draft.eagle import quantize_eagle_params
+        draft = quantize_eagle_params(draft, quant)
+    return params, draft
+
+
 def main():
     model_kind = os.environ.get("BENCH_MODEL", "7b")
     n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
@@ -71,48 +123,7 @@ def main():
     cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
                        max_new_tokens=n_tokens, max_seq_len=max_seq)
 
-    key = jax.random.key(0)
-    if quant != "none":
-        # Generate quantized weights directly (random-weight bench): avoids
-        # holding bf16 + quantized copies simultaneously, which OOMs at 7B.
-        from flowspec_tpu.models.llama import LlamaParams, LlamaLayerParams
-        from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor, NF4_BLOCK
-        h, i, v = mc.hidden_size, mc.intermediate_size, mc.vocab_size
-        L, d = mc.num_hidden_layers, mc.head_dim_
-        nq, nkv = mc.num_attention_heads, mc.num_key_value_heads
-        dt = jnp.dtype(mc.dtype)
-
-        def q_of(k, shape):
-            if quant == "int8":
-                q = jax.random.randint(k, shape, -127, 128, jnp.int8)
-                s = jnp.full(shape[:-2] + shape[-1:],
-                             (shape[-2] ** -0.5) / 127.0, jnp.float32)
-                return Int8Tensor(q=q, scale=s)
-            q = jax.random.randint(k, shape, 0, 16, jnp.uint8)
-            s = jnp.full(shape[:-2] + (shape[-2] // NF4_BLOCK,) + shape[-1:],
-                         shape[-2] ** -0.5, jnp.float32)
-            return NF4Tensor(q=q, scale=s)
-
-        ks = jax.random.split(jax.random.key(7), 10)
-        layers = LlamaLayerParams(
-            wq=q_of(ks[0], (L, h, nq * d)), wk=q_of(ks[1], (L, h, nkv * d)),
-            wv=q_of(ks[2], (L, h, nkv * d)), wo=q_of(ks[3], (L, nq * d, h)),
-            bq=jnp.zeros((L, nq * d), dt), bk=jnp.zeros((L, nkv * d), dt),
-            bv=jnp.zeros((L, nkv * d), dt),
-            w_gate=q_of(ks[4], (L, h, i)), w_up=q_of(ks[5], (L, h, i)),
-            w_down=q_of(ks[6], (L, i, h)),
-            input_ln=jnp.ones((L, h), dt), post_ln=jnp.ones((L, h), dt))
-        params = LlamaParams(
-            embed=jax.random.normal(ks[7], (v, h), dt) * 0.02,
-            layers=layers,
-            final_norm=jnp.ones((h,), dt),
-            lm_head=jax.random.normal(ks[8], (h, v), dt) * h ** -0.5)
-    else:
-        params = init_llama_params(key, mc)
-    draft = init_eagle_params(jax.random.key(1), mc, embed=params.embed)
-    if quant != "none":
-        from flowspec_tpu.draft.eagle import quantize_eagle_params
-        draft = quantize_eagle_params(draft, quant)
+    params, draft = build_params(mc, quant)
     if batch > 1:
         from flowspec_tpu.runtime.batched import BatchedSpecEngine
         eng = BatchedSpecEngine(params, draft, cfg, batch_size=batch)

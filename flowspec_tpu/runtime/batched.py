@@ -40,6 +40,7 @@ class BatchedSpecEngine(SpecEngine):
                  cfg: EngineConfig, batch_size: int = 4):
         super().__init__(params, draft, cfg)
         self.batch_size = batch_size
+        cfg = self.cfg    # SpecEngine clamps the tree caps; stay consistent
         self._vround = jax.jit(jax.vmap(
             functools.partial(_spec_round, cfg=cfg.model, tree_cfg=cfg.tree,
                               sampling=cfg.sampling),

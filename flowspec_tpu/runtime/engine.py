@@ -62,9 +62,22 @@ class SpecEngine:
                  cfg: EngineConfig):
         self.params = params
         self.draft = draft
+        tc = cfg.tree
+        # The single-chip engine verifies freshly drafted trees only (it
+        # never merges), and a fresh top-N beam tree always holds exactly
+        # total_tokens+1 nodes, depth <= depth. The default static caps are
+        # sized for the pipeline's merge headroom (node_cap 192), so without
+        # clamping every verify forward would run node_cap padded rows —
+        # 2.4x the real tree's matmul FLOPs at the default config. Clamp to
+        # the fresh-tree envelope; PipelineEngine keeps the full caps.
+        tc = dataclasses.replace(
+            tc,
+            node_cap=min(tc.node_cap, tc.total_tokens + 1),
+            leaf_cap=min(tc.leaf_cap, tc.total_tokens + 1),
+            depth_cap=min(tc.depth_cap, tc.depth + 1))
+        cfg = dataclasses.replace(cfg, tree=tc)
         self.cfg = cfg
         mc = cfg.model
-        tc = cfg.tree
         # Pending draft-pair buffers must hold a full prefill chunk: the last
         # prompt chunk's (next_token, hidden) pairs stay queued until the
         # first spec round drains them (and the sampled root is patched into
