@@ -1,0 +1,71 @@
+"""Tensor-parallel engine: losslessness across tp widths and quant kinds.
+
+The TP engine is SpecEngine with megatron GSPMD placement (parallel/tp.py);
+under greedy sampling its output must be bit-identical in token space to the
+unsharded single-chip engine. Mirrors the reference's tp path
+(tp/tp_ea_model.py:155-391) which verifies the whole tree per round.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flowspec_tpu.config import (
+    EngineConfig, ModelConfig, SamplingConfig, TreeConfig,
+)
+from flowspec_tpu.draft.eagle import init_eagle_params
+from flowspec_tpu.models.llama import init_llama_params
+from flowspec_tpu.parallel.mesh import tp_mesh
+from flowspec_tpu.parallel.tp import TPEngine
+from flowspec_tpu.runtime import SpecEngine
+
+
+def _cfg():
+    mc = ModelConfig.tiny(vocab_size=64, n_layers=2)
+    # tiny() gives 4 q heads / 2 kv heads; give tp=4 enough kv heads
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32",
+                     "num_attention_heads": 8, "num_key_value_heads": 4})
+    tc = TreeConfig(top_k=6, depth=3, total_tokens=15, expand_tokens=8,
+                    expand_depth=2, node_cap=32, leaf_cap=32, depth_cap=10,
+                    chunk_len=8)
+    return EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                        max_seq_len=256, prefill_chunk=16)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _cfg()
+    p = init_llama_params(jax.random.key(3), cfg.model, dtype=jnp.float32)
+    d = init_eagle_params(jax.random.key(9), cfg.model, embed=p.embed,
+                          dtype=jnp.float32)
+    ref = SpecEngine(p, d, cfg)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(3, 60, 11).tolist()
+    ar, _ = ref.generate_ar(prompt, max_new_tokens=24, eos_token_id=-1)
+    return cfg, p, d, prompt, ar
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_llama_tp_lossless(setup, tp):
+    cfg, p, d, prompt, ar = setup
+    eng = TPEngine(p, d, cfg, mesh=tp_mesh(tp))
+    out, stats = eng.generate(prompt, max_new_tokens=24, eos_token_id=-1)
+    assert out == ar, (tp, stats)
+    assert stats["accept_per_round"] >= 1.0
+
+
+def test_llama_tp_quantized_lossless(setup):
+    """int8-quantized weights under TP must match the int8 single-chip
+    engine (quantized containers shard along the megatron axes)."""
+    cfg, p, d, prompt, _ = setup
+    from flowspec_tpu.draft.eagle import quantize_eagle_params
+    from flowspec_tpu.models.llama import quantize_llama_params
+
+    qp = quantize_llama_params(p, "int8")
+    qd = quantize_eagle_params(d, "int8")
+    ref = SpecEngine(qp, qd, cfg)
+    ar, _ = ref.generate_ar(prompt, max_new_tokens=20, eos_token_id=-1)
+    eng = TPEngine(qp, qd, cfg, mesh=tp_mesh(2))
+    out, stats = eng.generate(prompt, max_new_tokens=20, eos_token_id=-1)
+    assert out == ar, stats
