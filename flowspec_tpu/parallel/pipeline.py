@@ -171,6 +171,19 @@ class PipelineEngine:
         self.p = p_stages
         assert mc.num_hidden_layers % p_stages == 0, \
             "layer count must divide stages evenly (uneven splits: later)"
+        # Combined PP x TP over a (stage, tp) mesh (parallel/mesh.py:
+        # stage_tp_mesh): the round stays MANUAL over `stage` (ppermute ring,
+        # replicated control flow) while `tp` is left to GSPMD as an auto
+        # axis — base-layer weights/KV carry megatron specs on tp and XLA
+        # partitions the layer matmuls + inserts the psums within each
+        # stage's TP group. The reference has no PP x TP composition at all
+        # (SURVEY.md section 2.4).
+        self.tp = int(mesh.shape["tp"]) if "tp" in mesh.axis_names else 1
+        if self.tp > 1:
+            assert mc.num_attention_heads % self.tp == 0
+            assert mc.num_key_value_heads % self.tp == 0
+            assert not mc.num_local_experts, \
+                "PP x TP for MoE models not yet plumbed"
 
         # static capacities
         if schedule == "serial":
@@ -204,19 +217,25 @@ class PipelineEngine:
         pspec, dspec, sspec = self._specs()
         fspec = Flight(h=P(), start=P(), n=P())
 
+        # Partial-manual shard_map for PP x TP: the round is MANUAL over
+        # `stage` (specs below name only stage axes); `tp`, when present, is
+        # an AUTO axis — GSPMD propagates the megatron weight shardings into
+        # the layer matmuls and inserts the TP collectives.
+        sm_kw = dict(mesh=mesh, check_vma=False)
+        if self.tp > 1:
+            sm_kw["axis_names"] = {"stage"}
+
         self._prefill_turn = jax.jit(jax.shard_map(
             functools.partial(_prefill_turn, mc=mc, p=p_stages,
                               pc=cfg.prefill_chunk),
-            mesh=mesh,
             in_specs=(pspec, sspec, fspec, P(), P(), P()),
             out_specs=(sspec, fspec, P(), P()),
-            check_vma=False), donate_argnums=(1,))
+            **sm_kw), donate_argnums=(1,))
 
         self._draft_drain = jax.jit(jax.shard_map(
             functools.partial(_draft_drain, mc=mc),
-            mesh=mesh,
             in_specs=(dspec, sspec, P(), P(), P()),
-            out_specs=sspec, check_vma=False))
+            out_specs=sspec, **sm_kw))
 
         round_kw = dict(mc=mc, tc=tc, sampling=cfg.sampling,
                         p=p_stages, c_buf=self.c_buf, out_cap=self.out_cap,
@@ -224,31 +243,67 @@ class PipelineEngine:
                         schedule=schedule, max_levels=self.max_levels)
         self._round = jax.jit(jax.shard_map(
             functools.partial(_pipeline_round, **round_kw),
-            mesh=mesh,
             in_specs=(pspec, dspec, sspec, P(), P()),
             out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P(),
                                        skips=P(), ne_fires=P())),
-            check_vma=False), donate_argnums=(2,))
+            **sm_kw), donate_argnums=(2,))
         self._decode_loop = jax.jit(jax.shard_map(
             functools.partial(_pipeline_decode_loop, **round_kw),
-            mesh=mesh,
             in_specs=(pspec, dspec, sspec, P(), P()),
             out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P(),
                                        skips=P(), ne_fires=P())),
-            check_vma=False), donate_argnums=(2,))
+            **sm_kw), donate_argnums=(2,))
 
     # ------------------------------------------------------------------
+    _TP_COL = ("wq", "wk", "wv", "w_gate", "w_up")      # shard Out
+    _TP_ROW = ("wo", "w_down")                          # shard In
+    _TP_VEC = ("bq", "bk", "bv")                        # (L, Out)
+
+    def _tp_put(self, name, w):
+        """Megatron spec on top of the leading stage axis (parallel/tp.py
+        uses the same layout without the layer axis). Quantized containers:
+        int8 scale follows Out; nf4 scale blocks follow In."""
+        from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor
+        m = self.mesh
+        put = lambda x, spec: jax.device_put(x, NamedSharding(m, spec))
+        if name in self._TP_COL:
+            if isinstance(w, Int8Tensor):
+                return Int8Tensor(q=put(w.q, P("stage", None, "tp")),
+                                  scale=put(w.scale, P("stage", "tp")))
+            if isinstance(w, NF4Tensor):
+                return NF4Tensor(q=put(w.q, P("stage", None, "tp")),
+                                 scale=put(w.scale, P("stage", None, "tp")))
+            return put(w, P("stage", None, "tp"))
+        if name in self._TP_ROW:
+            if isinstance(w, Int8Tensor):
+                return Int8Tensor(q=put(w.q, P("stage", "tp", None)),
+                                  scale=put(w.scale, P("stage")))
+            if isinstance(w, NF4Tensor):
+                return NF4Tensor(q=put(w.q, P("stage", "tp", None)),
+                                 scale=put(w.scale, P("stage", "tp", None)))
+            return put(w, P("stage", "tp", None))
+        if name in self._TP_VEC:
+            return put(w, P("stage", "tp"))
+        return put(w, P("stage"))
+
     def _shard_params(self, params):
         """Stage-shard the stacked layer axis; replicate the rest. Works for
         any model family whose params expose (embed, layers, final_norm,
         lm_head) with a leading layer axis on every `layers` leaf (llama,
-        qwen2, mixtral — incl. quantized containers)."""
+        qwen2, mixtral — incl. quantized containers). With a (stage, tp)
+        mesh the llama-family layer weights additionally carry megatron tp
+        shardings (GSPMD partitions the matmuls within each stage)."""
         m = self.mesh
         lp = params.layers
-        lp = dataclasses.replace(lp, **{
-            f.name: jax.device_put(getattr(lp, f.name),
-                                   NamedSharding(m, P("stage")))
-            for f in dataclasses.fields(lp)})
+        if self.tp > 1:
+            lp = dataclasses.replace(lp, **{
+                f.name: self._tp_put(f.name, getattr(lp, f.name))
+                for f in dataclasses.fields(lp)})
+        else:
+            lp = dataclasses.replace(lp, **{
+                f.name: jax.device_put(getattr(lp, f.name),
+                                       NamedSharding(m, P("stage")))
+                for f in dataclasses.fields(lp)})
         rep = lambda x: jax.device_put(x, NamedSharding(m, P()))
         return dataclasses.replace(params, layers=lp,
                                    embed=rep(params.embed),
@@ -280,9 +335,10 @@ class PipelineEngine:
         kv_len = self.cfg.max_seq_len + 2 * tc.node_cap + tc.depth_cap
         kv = init_kv_cache(mc.num_hidden_layers, 1, mc.num_key_value_heads,
                            kv_len, mc.head_dim_, dt)
+        kv_spec = (P("stage", None, "tp") if self.tp > 1 else P("stage"))
         kv = KVCache(
-            k=jax.device_put(kv.k, NamedSharding(mesh, P("stage"))),
-            v=jax.device_put(kv.v, NamedSharding(mesh, P("stage"))),
+            k=jax.device_put(kv.k, NamedSharding(mesh, kv_spec)),
+            v=jax.device_put(kv.v, NamedSharding(mesh, kv_spec)),
             length=jax.device_put(kv.length, NamedSharding(mesh, P())))
         draft_margin = max(self.max_levels * tc.top_k,
                            2 * tc.node_cap + tc.depth_cap + self.ctx)

@@ -69,3 +69,39 @@ def test_llama_tp_quantized_lossless(setup):
     eng = TPEngine(qp, qd, cfg, mesh=tp_mesh(2))
     out, stats = eng.generate(prompt, max_new_tokens=20, eos_token_id=-1)
     assert out == ar, stats
+
+
+def test_pipeline_pp_x_tp_lossless():
+    """Combined PP x TP: PipelineEngine on a (stage, tp) mesh stays manual
+    over `stage` (ppermute ring) while GSPMD auto-shards the layer matmuls
+    over `tp` via megatron weight specs. Beyond the reference, which has no
+    PP x TP composition (SURVEY.md section 2.4)."""
+    from flowspec_tpu.config import StageTopology
+    from flowspec_tpu.parallel import PipelineEngine
+    from flowspec_tpu.parallel.mesh import stage_tp_mesh
+
+    mc = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=8, num_attention_heads=8,
+                     num_key_value_heads=4, max_position_embeddings=512,
+                     dtype="float32")
+    tc = TreeConfig(top_k=6, depth=3, total_tokens=18, expand_tokens=12,
+                    expand_depth=2, node_cap=48, leaf_cap=48, depth_cap=12,
+                    chunk_len=4, chunk_cap=12)
+    cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                       max_seq_len=256, prefill_chunk=8,
+                       topology=StageTopology.even(8, 4))
+    p = init_llama_params(jax.random.key(5), mc, dtype=jnp.float32)
+    d = init_eagle_params(jax.random.key(15), mc, embed=p.embed,
+                          dtype=jnp.float32)
+    prompt = np.random.default_rng(7).integers(3, 120, 10).tolist()
+    ref = SpecEngine(p, d, cfg)
+    ar, _ = ref.generate_ar(prompt, max_new_tokens=10, eos_token_id=-1)
+
+    eng = PipelineEngine(p, d, cfg, mesh=stage_tp_mesh(4, 2),
+                         schedule="continuous")
+    assert eng.tp == 2
+    # weights really are tp-sharded, not replicated
+    shard = eng.params.layers.wq.addressable_shards[0].data
+    assert shard.shape == (8 // 4, 64, 64 // 2), shard.shape
+    out, stats = eng.generate(prompt, max_new_tokens=10, eos_token_id=-1)
+    assert out == ar, stats
