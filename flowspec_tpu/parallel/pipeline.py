@@ -182,8 +182,10 @@ class PipelineEngine:
         if self.tp > 1:
             assert mc.num_attention_heads % self.tp == 0
             assert mc.num_key_value_heads % self.tp == 0
-            assert not mc.num_local_experts, \
-                "PP x TP for MoE models not yet plumbed"
+            if mc.num_local_experts:
+                # MoE: expert-parallel over tp (each TP rank holds E/tp
+                # experts; the mixture einsums psum via GSPMD)
+                assert mc.num_local_experts % self.tp == 0
 
         # static capacities
         if schedule == "serial":
@@ -266,6 +268,10 @@ class PipelineEngine:
         from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor
         m = self.mesh
         put = lambda x, spec: jax.device_put(x, NamedSharding(m, spec))
+        if (name in self._TP_COL or name in self._TP_ROW) and \
+                not isinstance(w, (Int8Tensor, NF4Tensor)) and w.ndim == 4:
+            # Mixtral stacked experts (L, E, In, Out): expert parallelism
+            return put(w, P("stage", "tp", None, None))
         if name in self._TP_COL:
             if isinstance(w, Int8Tensor):
                 return Int8Tensor(q=put(w.q, P("stage", None, "tp")),

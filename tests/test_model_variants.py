@@ -206,3 +206,37 @@ def test_mixtral_pipeline_and_tp():
     te = TPEngine(params, draft, ecfg, tp=2)
     out2, _ = te.generate(prompt, max_new_tokens=14, eos_token_id=-1)
     assert out2 == ar
+
+
+def test_mixtral_pp_x_tp():
+    """MoE on a (stage, tp) mesh: layers pipeline over stage; the stacked
+    expert weights shard the E axis over tp (expert parallelism) with GSPMD
+    inserting the mixture psums."""
+    from flowspec_tpu.config import StageTopology
+    from flowspec_tpu.parallel import PipelineEngine
+    from flowspec_tpu.parallel.mesh import stage_tp_mesh
+
+    cfg = ModelConfig(vocab_size=32, hidden_size=64, intermediate_size=96,
+                      num_hidden_layers=4, num_attention_heads=4,
+                      num_key_value_heads=2, num_local_experts=4,
+                      num_experts_per_tok=2, max_position_embeddings=512,
+                      dtype="float32")
+    tc = TreeConfig(top_k=6, depth=3, total_tokens=16, expand_tokens=12,
+                    expand_depth=2, node_cap=32, leaf_cap=32, depth_cap=10,
+                    chunk_len=6)
+    ecfg = EngineConfig(model=cfg, tree=tc, sampling=SamplingConfig(),
+                        max_seq_len=128, prefill_chunk=8,
+                        topology=StageTopology.even(4, 4))
+    params = init_mixtral_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    draft = init_eagle_params(jax.random.key(9), cfg, embed=params.embed,
+                              dtype=jnp.float32)
+    ref = SpecEngine(params, draft, ecfg)
+    prompt = list(np.random.default_rng(0).integers(3, 30, 9))
+    ar, _ = ref.generate_ar(prompt, max_new_tokens=12, eos_token_id=-1)
+    pe = PipelineEngine(params, draft, ecfg, mesh=stage_tp_mesh(4, 2),
+                        schedule="continuous")
+    # experts really sharded: E/tp on each device
+    shard = pe.params.layers.w_gate.addressable_shards[0].data
+    assert shard.shape == (1, 2, 64, 96), shard.shape
+    out, _ = pe.generate(prompt, max_new_tokens=12, eos_token_id=-1)
+    assert out == ar
