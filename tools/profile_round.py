@@ -23,7 +23,12 @@ Components (mirroring runtime/engine._spec_round):
 
 import json
 import os
+import sys
 import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def main():
@@ -82,14 +87,17 @@ def main():
     state1, _ = eng._round(state, params, draft)
 
     def timed(name, fn, carry, n=iters):
-        """fn: carry -> carry with a live data dependency."""
-        loop = jax.jit(lambda c: jax.lax.fori_loop(
-            0, n, lambda i, c_: fn(c_), c))
-        out = loop(carry)            # compile + warmup
+        """fn: (carry, (params, draft)) -> carry with a live data dependency.
+        Weights are explicit jit arguments — closing over them would embed
+        multi-GB literals in the HLO and blow the remote-compile body limit
+        (HTTP 413 through the tunnel)."""
+        loop = jax.jit(lambda c, pd: jax.lax.fori_loop(
+            0, n, lambda i, c_: fn(c_, pd), c))
+        out = loop(carry, (params, draft))    # compile + warmup
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(jnp.sum(leaf).astype(jnp.float32))
         t0 = time.perf_counter()
-        out = loop(carry)
+        out = loop(carry, (params, draft))
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(jnp.sum(leaf).astype(jnp.float32))
         dt = (time.perf_counter() - t0) / n * 1e3
@@ -103,9 +111,9 @@ def main():
     commit = state1.commit_len
 
     # ---- drain: draft context over the pending block ---------------------
-    def drain_fn(c):
+    def drain_fn(c, pd):
         toks, hid, dc = c
-        out, dc2 = draft_context_forward(draft, dc, toks, hid,
+        out, dc2 = draft_context_forward(pd[1], dc, toks, hid,
                                          dc.length, jnp.asarray(8), mcE)
         # feed output back so the loop cannot be collapsed
         return (toks, out * 1e-4 + hid * (1 - 1e-4), dc2)
@@ -118,9 +126,9 @@ def main():
     # ---- beam: draft tree generation ------------------------------------
     root_h = jnp.zeros((H,), dt_model)
 
-    def beam_fn(c):
+    def beam_fn(c, pd):
         rh, dc = c
-        tree, _, dc2 = topk_generate(draft, params.lm_head, dc,
+        tree, _, dc2 = topk_generate(pd[1], pd[0].lm_head, dc,
                                      jnp.asarray(7, jnp.int32), rh, tcE, mcE)
         dep = jnp.sum(tree.scores, where=jnp.isfinite(tree.scores)) * 1e-6
         return (rh + dep.astype(dt_model), dc2)
@@ -135,9 +143,9 @@ def main():
                      state1.base_cache.max_len)
     positions = commit + jnp.arange(n_cap, dtype=jnp.int32)
 
-    def verify_fn(c):
+    def verify_fn(c, pd):
         hidden, cache = c
-        out, cache2 = model_forward(params, cache, hidden, positions, bias,
+        out, cache2 = model_forward(pd[0], cache, hidden, positions, bias,
                                     commit, mcE)
         return (out * 1e-4 + hidden * (1 - 1e-4), cache2)
     hidden0 = jnp.zeros((1, n_cap, H), dt_model)
@@ -150,23 +158,23 @@ def main():
                          jnp.asarray(n_cap, jnp.int32), tcE.leaf_cap,
                          tcE.depth_cap)
 
-    def head_fn(c):
+    def head_fn(c, pd):
         hidden, acc = c
-        normed = final_hidden(params, hidden, mcE)
-        logits = lm_head_logits(params, normed[0])
+        normed = final_hidden(pd[0], hidden, mcE)
+        logits = lm_head_logits(pd[0], normed[0])
         res = evaluate_posterior_greedy(logits, tree)
         return (hidden + (res.accept_len.astype(dt_model) * 1e-6), acc)
     timed("head+post", head_fn, (hidden0, jnp.zeros((), dt_model)))
 
     # ---- full round + ar step -------------------------------------------
-    def round_fn(st):
-        st2, _ = E._spec_round(st, params, draft, cfg=mcE, tree_cfg=tcE,
+    def round_fn(st, pd):
+        st2, _ = E._spec_round(st, pd[0], pd[1], cfg=mcE, tree_cfg=tcE,
                                sampling=eng.cfg.sampling)
         return st2
     timed("round", round_fn, state1, n=max(4, iters // 2))
 
-    def ar_fn(st):
-        st2, _ = E._ar_step(st, params, cfg=mcE, sampling=eng.cfg.sampling)
+    def ar_fn(st, pd):
+        st2, _ = E._ar_step(st, pd[0], cfg=mcE, sampling=eng.cfg.sampling)
         return st2
     timed("ar_step", ar_fn, state1, n=iters)
 
