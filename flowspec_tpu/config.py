@@ -191,3 +191,8 @@ class EngineConfig:
     max_seq_len: int = 2560              # KV capacity (ref: stage_ea_config.py:108)
     prefill_chunk: int = 64              # ref: ~60-token chunks (pipeline_utils.py:196)
     pipeline_type: str = "continuous"    # ar|serial|naive|pruned|continuous|pipedec
+    # Quantization of the lm_head COPY used for beam scoring (the draft reads
+    # the head once per tree level — ~8x per round); verification always uses
+    # the exact head, so greedy losslessness is unaffected (proposal-
+    # independent). "auto" = int8 iff the draft weights are quantized.
+    beam_head_quant: str = "auto"        # auto|none|int8

@@ -25,6 +25,20 @@ from flowspec_tpu.tree.build import build_tree, select_topn
 from flowspec_tpu.tree.types import TokenTree
 
 
+def head_logits(x: jax.Array, head) -> jax.Array:
+    """(..., H) @ head -> (..., V) float32. `head` may be an Int8Tensor:
+    the beam only scores draft *proposals*, so an int8 head halves the
+    ~0.26GB/level HBM read at 7B while verification keeps the exact bf16
+    head (greedy losslessness is proposal-independent)."""
+    from flowspec_tpu.ops.quant import Int8Tensor
+    if isinstance(head, Int8Tensor):
+        y = jnp.einsum("...h,hv->...v", x, head.q.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return y * head.scale
+    return jnp.einsum("...h,hv->...v", x, head,
+                      preferred_element_type=jnp.float32)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BeamState:
@@ -77,8 +91,7 @@ def _beam_step(p: EagleParams, head: jax.Array, cache_k, cache_v,
     out = out[0]                                                  # (K, H)
 
     # --- candidates: per-row top-k next tokens with cumulative scores
-    logits = jnp.einsum("kh,hv->kv", out, head,
-                        preferred_element_type=jnp.float32)           # (K, V)
+    logits = head_logits(out, head)                                   # (K, V)
     logp = jax.nn.log_softmax(logits, axis=-1)
     # vocab-wide top-k via the TPU-optimized PartialReduce (exact at
     # recall_target=1.0, much cheaper than a full sort over V)
@@ -122,8 +135,7 @@ def _init_beam(p: EagleParams, head: jax.Array, root_hidden: jax.Array,
     (eagle/cnets.py:748-760)."""
     k_beam = tree_cfg.top_k
     m = k_beam + max_levels * k_beam * k_beam
-    logits = jnp.einsum("h,hv->v", root_hidden, head,
-                        preferred_element_type=jnp.float32)
+    logits = head_logits(root_hidden, head)
     logp = jax.nn.log_softmax(logits)
     sc, tok = jax.lax.approx_max_k(logp, k_beam, recall_target=1.0)
 

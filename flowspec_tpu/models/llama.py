@@ -88,11 +88,20 @@ def attention(q, k_all, v_all, bias, n_rep: int):
 
 
 def attention_block(x, wq, wk, wv, wo, k_cache, v_cache, positions, bias,
-                    write_start, cfg: ModelConfig, bq=None, bk=None, bv=None):
+                    write_start, cfg: ModelConfig, bq=None, bk=None, bv=None,
+                    layer=None):
     """Shared attention sub-layer: qkv projections (+optional bias), rope,
     KV-cache append, tree/causal-masked attention, output projection. Used by
     the llama/qwen2 layer, the mixtral layer and the EAGLE draft layer —
-    they differ only in norms and MLPs."""
+    they differ only in norms and MLPs.
+
+    With `layer=None`, k_cache/v_cache are one layer's (B, H, S, D) buffers.
+    With a (traced) `layer` index, they are the FULL stacked (L, B, H, S, D)
+    caches carried through the layer scan and updated in place — lax.scan
+    aliases its carry buffers across steps, which avoids the whole-cache
+    copy that scanning per-layer caches as xs/ys costs every forward
+    (~2x the cache size per step in HBM traffic, see PROFILE_7b_int8.md).
+    """
     b, t, _ = x.shape
     d = cfg.head_dim_
     nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -108,25 +117,40 @@ def attention_block(x, wq, wk, wv, wo, k_cache, v_cache, positions, bias,
              cfg.rope_theta)
     v = v.reshape(b, t, nkv, d).transpose(0, 2, 1, 3)
 
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
-                                           (0, 0, write_start, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
-                                           (0, 0, write_start, 0))
+    if layer is None:
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, write_start, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, write_start, 0))
+        k_all, v_all = k_cache, v_cache
+    else:
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype)[None],
+            (layer, 0, 0, write_start, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype)[None],
+            (layer, 0, 0, write_start, 0))
+        lshape = (1,) + k_cache.shape[1:]
+        zero = jnp.zeros((), jnp.int32)
+        k_all = jax.lax.dynamic_slice(
+            k_cache, (layer, zero, zero, zero, zero), lshape)[0]
+        v_all = jax.lax.dynamic_slice(
+            v_cache, (layer, zero, zero, zero, zero), lshape)[0]
 
-    attn = attention(q, k_cache, v_cache, bias, nq // nkv)
+    attn = attention(q, k_all, v_all, bias, nq // nkv)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
     return qmatmul(attn, wo), k_cache, v_cache
 
 
 def decoder_layer(x, lp, k_cache, v_cache, positions, bias, write_start,
-                  cfg: ModelConfig):
-    """One decoder layer. x (B, T, H); k/v_cache (B, nkv, S, D) for this
-    layer; returns (x_out, k_cache', v_cache')."""
+                  cfg: ModelConfig, layer=None):
+    """One decoder layer. x (B, T, H); k/v_cache per-layer (B, nkv, S, D)
+    or, with `layer`, the full stacked caches (see attention_block)."""
     res = x
     x = rms_norm(x, lp.input_ln, cfg.rms_norm_eps)
     attn, k_cache, v_cache = attention_block(
         x, lp.wq, lp.wk, lp.wv, lp.wo, k_cache, v_cache, positions, bias,
-        write_start, cfg, bq=lp.bq, bk=lp.bk, bv=lp.bv)
+        write_start, cfg, bq=lp.bq, bk=lp.bk, bv=lp.bv, layer=layer)
     x = res + attn
 
     res = x
@@ -149,16 +173,18 @@ def llama_forward(params: LlamaParams, cache: KVCache, hidden: jax.Array,
     last stage applies final_norm via `final_hidden`).
     """
     del layer_offset
+    n_layers = cache.k.shape[0]
 
     def body(carry, xs):
-        x = carry
-        lp, kc, vc = xs
+        x, kc, vc = carry
+        lp, l = xs
         x, kc, vc = decoder_layer(x, lp, kc, vc, positions, bias,
-                                  write_start, cfg)
-        return x, (kc, vc)
+                                  write_start, cfg, layer=l)
+        return (x, kc, vc), None
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, hidden, (params.layers, cache.k, cache.v))
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (hidden, cache.k, cache.v),
+        (params.layers, jnp.arange(n_layers, dtype=jnp.int32)))
     return x, KVCache(k=k_new, v=v_new, length=cache.length)
 
 

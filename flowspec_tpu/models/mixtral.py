@@ -74,12 +74,12 @@ def moe_block(x: jax.Array, lp: MixtralLayerParams,
 
 
 def mixtral_decoder_layer(x, lp, k_cache, v_cache, positions, bias,
-                          write_start, cfg: ModelConfig):
+                          write_start, cfg: ModelConfig, layer=None):
     res = x
     x = rms_norm(x, lp.input_ln, cfg.rms_norm_eps)
     attn, k_cache, v_cache = attention_block(
         x, lp.wq, lp.wk, lp.wv, lp.wo, k_cache, v_cache, positions, bias,
-        write_start, cfg)
+        write_start, cfg, layer=layer)
     x = res + attn
 
     res = x
@@ -90,15 +90,18 @@ def mixtral_decoder_layer(x, lp, k_cache, v_cache, positions, bias,
 
 def mixtral_forward(params: MixtralParams, cache: KVCache, hidden, positions,
                     bias, write_start, cfg: ModelConfig):
-    def body(carry, xs):
-        x = carry
-        lp, kc, vc = xs
-        x, kc, vc = mixtral_decoder_layer(x, lp, kc, vc, positions, bias,
-                                          write_start, cfg)
-        return x, (kc, vc)
+    n_layers = cache.k.shape[0]
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, hidden, (params.layers, cache.k, cache.v))
+    def body(carry, xs):
+        x, kc, vc = carry
+        lp, l = xs
+        x, kc, vc = mixtral_decoder_layer(x, lp, kc, vc, positions, bias,
+                                          write_start, cfg, layer=l)
+        return (x, kc, vc), None
+
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (hidden, cache.k, cache.v),
+        (params.layers, jnp.arange(n_layers, dtype=jnp.int32)))
     return x, KVCache(k=k_new, v=v_new, length=cache.length)
 
 

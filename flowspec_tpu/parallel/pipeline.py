@@ -46,7 +46,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flowspec_tpu.config import EngineConfig
-from flowspec_tpu.draft.beam import BeamState, expand_tree, topk_generate
+from flowspec_tpu.draft.beam import (
+    BeamState, expand_tree, head_logits, topk_generate,
+)
 from flowspec_tpu.draft.eagle import (
     EagleParams, draft_context_forward, eagle_layer, fuse,
 )
@@ -215,9 +217,12 @@ class PipelineEngine:
 
         self.params = self._shard_params(params)
         self.draft = jax.device_put(draft, NamedSharding(mesh, P()))
+        from flowspec_tpu.runtime.engine import make_beam_head
+        self.beam_head = make_beam_head(self.params, self.draft, cfg)
 
         pspec, dspec, sspec = self._specs()
         fspec = Flight(h=P(), start=P(), n=P())
+        bhspec = jax.tree_util.tree_map(lambda _: P(), self.beam_head)
 
         # Partial-manual shard_map for PP x TP: the round is MANUAL over
         # `stage` (specs below name only stage axes); `tp`, when present, is
@@ -245,13 +250,13 @@ class PipelineEngine:
                         schedule=schedule, max_levels=self.max_levels)
         self._round = jax.jit(jax.shard_map(
             functools.partial(_pipeline_round, **round_kw),
-            in_specs=(pspec, dspec, sspec, P(), P()),
+            in_specs=(pspec, dspec, sspec, P(), P(), bhspec),
             out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P(),
                                        skips=P(), ne_fires=P())),
             **sm_kw), donate_argnums=(2,))
         self._decode_loop = jax.jit(jax.shard_map(
             functools.partial(_pipeline_decode_loop, **round_kw),
-            in_specs=(pspec, dspec, sspec, P(), P()),
+            in_specs=(pspec, dspec, sspec, P(), P(), bhspec),
             out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P(),
                                        skips=P(), ne_fires=P())),
             **sm_kw), donate_argnums=(2,))
@@ -439,7 +444,7 @@ class PipelineEngine:
         state, res = self._decode_loop(
             self.params, self.draft, state,
             jnp.asarray(eos_token_id, jnp.int32),
-            jnp.asarray(max_new, jnp.int32))
+            jnp.asarray(max_new, jnp.int32), self.beam_head)
         out = list(np.asarray(prompt, np.int64))
         new_tokens = 0
         for t in np.asarray(res.out_tokens)[:int(res.n_out)]:
@@ -467,7 +472,8 @@ class PipelineEngine:
             state, res = self._round(
                 self.params, self.draft, state,
                 jnp.asarray(eos_token_id, jnp.int32),
-                jnp.asarray(max_new - new_tokens, jnp.int32))
+                jnp.asarray(max_new - new_tokens, jnp.int32),
+                self.beam_head)
             rounds += 1
             turns_total += int(res.turns)
             skips_total += int(res.skips)
@@ -571,7 +577,8 @@ def _forward_chunk(params, kv, tree: TokenTree, fl: Flight, commit, c_buf,
     return h[0].astype(fl.h.dtype), kv2
 
 
-def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
+def _pipeline_round(params, draft, state: PipeState, eos_id, budget,
+                    beam_head=None, *,
                     mc, tc, sampling, p, c_buf, out_cap, max_turns,
                     force_turn, schedule, max_levels):
     """One speculation round: draft a tree, stream/verify/prune/expand until
@@ -585,6 +592,7 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
     do_inflight_verdict = schedule in ("pruned", "continuous", "pipedec")
     do_expand = schedule == "continuous"
     pipedec = schedule == "pipedec"
+    bhead = params.lm_head if beam_head is None else beam_head
 
     # ---- 1. draft the initial tree (replicated) ----
     d_out, dcache = draft_context_forward(
@@ -596,11 +604,11 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
         # draft_init_pipedec, stage_ea_model.py:254-366 grows one level per
         # turn; here the expansion block adds levels in-loop)
         tree, beam0, dcache = topk_generate(
-            draft, params.lm_head, dcache, state.root_token, root_hidden,
+            draft, bhead, dcache, state.root_token, root_hidden,
             tc, mc, num_select=tc.top_k, depth=0, max_levels=max_levels)
     else:
         tree, beam0, dcache = topk_generate(
-            draft, params.lm_head, dcache, state.root_token, root_hidden,
+            draft, bhead, dcache, state.root_token, root_hidden,
             tc, mc, num_select=0 if schedule == "ar" else None,
             max_levels=max_levels)
 
@@ -797,7 +805,7 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
                 # (run_config.py:131), not the chunk length — the appended
                 # set is then re-split into <= expand_chunk_len chunks below
                 fresh, beam2, dc2 = topk_generate(
-                    draft, params.lm_head, dc2, new_root_tok, rh, tc, mc,
+                    draft, bhead, dc2, new_root_tok, rh, tc, mc,
                     num_select=tc.expand_tokens, depth=tc.expand_depth,
                     max_levels=max_levels)
                 mr = merge_trees(tree2_in, fresh)
@@ -890,7 +898,7 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
             # only follow the first verdict.
             def ne_expand(c2):
                 tree_x, beam2, dc2 = expand_tree(
-                    draft, params.lm_head, c2.draft_cache, c2.beam,
+                    draft, bhead, c2.draft_cache, c2.beam,
                     c2.tree.tokens[0], tc, mc,
                     extra_depth=tc.none_expand_depth,
                     expand_size=tc.none_expand_tokens,
@@ -965,8 +973,7 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
                 dhv2 = c2.dh_valid.at[jnp.where(fv, sf, n_cap)].set(
                     True, mode="drop")
 
-                logits = jnp.einsum("kh,hv->kv", out_h, params.lm_head,
-                                    preferred_element_type=jnp.float32)
+                logits = head_logits(out_h, bhead)
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 row_logp, row_tok = jax.lax.approx_max_k(
                     logp, k_pd, recall_target=1.0)
@@ -1069,7 +1076,8 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget, *,
                                skips=final.skips, ne_fires=final.ne_fires)
 
 
-def _pipeline_decode_loop(params, draft, state: PipeState, eos_id, budget, *,
+def _pipeline_decode_loop(params, draft, state: PipeState, eos_id, budget,
+                          beam_head=None, *,
                           mc, tc, sampling, p, c_buf, out_cap, max_turns,
                           force_turn, schedule, max_levels):
     """On-device multi-round loop around _pipeline_round: rounds repeat until
@@ -1078,7 +1086,7 @@ def _pipeline_decode_loop(params, draft, state: PipeState, eos_id, budget, *,
 
     def round_fn(st, remaining):
         return _pipeline_round(
-            params, draft, st, eos_id, remaining, mc=mc, tc=tc,
+            params, draft, st, eos_id, remaining, beam_head, mc=mc, tc=tc,
             sampling=sampling, p=p, c_buf=c_buf, out_cap=out_cap,
             max_turns=max_turns, force_turn=force_turn, schedule=schedule,
             max_levels=max_levels)

@@ -44,7 +44,7 @@ class BatchedSpecEngine(SpecEngine):
         self._vround = jax.jit(jax.vmap(
             functools.partial(_spec_round, cfg=cfg.model, tree_cfg=cfg.tree,
                               sampling=cfg.sampling),
-            in_axes=(0, None, None)), donate_argnums=(0,))
+            in_axes=(0, None, None, None)), donate_argnums=(0,))
         self._vloops = {}
 
     def _get_vloop(self, max_out: int):
@@ -56,7 +56,7 @@ class BatchedSpecEngine(SpecEngine):
                 _spec_decode_loop, cfg=cfg.model, tree_cfg=cfg.tree,
                 sampling=cfg.sampling, max_out=max_out)
             self._vloops[max_out] = jax.jit(
-                jax.vmap(f, in_axes=(0, None, None, None, None)))
+                jax.vmap(f, in_axes=(0, None, None, None, None, None)))
         return self._vloops[max_out]
 
     # ------------------------------------------------------------------
@@ -87,7 +87,8 @@ class BatchedSpecEngine(SpecEngine):
         done = [False] * b
         rounds = 0
         while not all(done):
-            batched, res = self._vround(batched, self.params, self.draft)
+            batched, res = self._vround(batched, self.params, self.draft,
+                                        self.beam_head)
             rounds += 1
             n_acc = np.asarray(res.n_accepted)
             acc = np.asarray(res.accepted)
@@ -116,7 +117,7 @@ class BatchedSpecEngine(SpecEngine):
                   for i, p in enumerate(prompts)]
         batched = self._stack_states(states)
         out_buf, n_out, rounds = self._get_vloop(int(max_new))(
-            batched, self.params, self.draft,
+            batched, self.params, self.draft, self.beam_head,
             jnp.asarray(eos_token_id, jnp.int32),
             jnp.asarray(max_new, jnp.int32))
         outs = []
@@ -162,7 +163,8 @@ class BatchedSpecEngine(SpecEngine):
         rounds = 0
         busy_slot_rounds = 0
         while any(r >= 0 for r in slot_req):
-            batched, res = self._vround(batched, self.params, self.draft)
+            batched, res = self._vround(batched, self.params, self.draft,
+                                        self.beam_head)
             rounds += 1
             n_acc = np.asarray(res.n_accepted)
             acc = np.asarray(res.accepted)

@@ -21,6 +21,20 @@ import numpy as np
 
 from flowspec_tpu.config import EngineConfig, ModelConfig, SamplingConfig, TreeConfig
 from flowspec_tpu.draft.beam import topk_generate
+
+
+def make_beam_head(params, draft, cfg: EngineConfig):
+    """The lm_head copy the draft beam scores proposals with (see
+    EngineConfig.beam_head_quant)."""
+    from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor, quantize_int8
+    mode = cfg.beam_head_quant
+    if mode == "auto":
+        mode = ("int8" if isinstance(draft.wq, (Int8Tensor, NF4Tensor))
+                else "none")
+    if mode == "int8":
+        return quantize_int8(params.lm_head)
+    assert mode == "none", mode
+    return params.lm_head
 from flowspec_tpu.draft.eagle import EagleParams, draft_context_forward
 from flowspec_tpu.models.bias import prefill_bias, tree_bias
 from flowspec_tpu.models.kv_cache import KVCache, init_kv_cache
@@ -33,6 +47,20 @@ from flowspec_tpu.tree.posterior import (
 )
 from flowspec_tpu.tree.sampling import sample_token
 from flowspec_tpu.tree.types import tree_attention_bias
+
+
+def make_beam_head(params, draft, cfg: EngineConfig):
+    """The lm_head copy the draft beam scores proposals with (see
+    EngineConfig.beam_head_quant)."""
+    from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor, quantize_int8
+    mode = cfg.beam_head_quant
+    if mode == "auto":
+        mode = ("int8" if isinstance(draft.wq, (Int8Tensor, NF4Tensor))
+                else "none")
+    if mode == "int8":
+        return quantize_int8(params.lm_head)
+    assert mode == "none", mode
+    return params.lm_head
 
 
 @jax.tree_util.register_dataclass
@@ -77,6 +105,7 @@ class SpecEngine:
             depth_cap=min(tc.depth_cap, tc.depth + 1))
         cfg = dataclasses.replace(cfg, tree=tc)
         self.cfg = cfg
+        self.beam_head = make_beam_head(params, draft, cfg)
         mc = cfg.model
         # Pending draft-pair buffers must hold a full prefill chunk: the last
         # prompt chunk's (next_token, hidden) pairs stay queued until the
@@ -187,7 +216,8 @@ class SpecEngine:
         new_tokens = 0
         rounds = 0
         while new_tokens < max_new:
-            state, res = self._round(state, self.params, self.draft)
+            state, res = self._round(state, self.params, self.draft,
+                                     self.beam_head)
             rounds += 1
             acc = np.asarray(res.accepted)[:int(res.n_accepted)]
             stop = False
@@ -213,7 +243,7 @@ class SpecEngine:
         state = self.init_state(seed)
         state = self.prefill(state, prompt)
         out_buf, n_out, rounds = self._spec_loop(
-            state, self.params, self.draft,
+            state, self.params, self.draft, self.beam_head,
             jnp.asarray(eos_token_id, jnp.int32),
             jnp.asarray(max_new, jnp.int32), max_out=int(max_new))
         n = int(n_out)
@@ -331,7 +361,7 @@ def _pin_param_layouts(params):
 
 
 def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
-                *, cfg: ModelConfig, tree_cfg: TreeConfig,
+                beam_head=None, *, cfg: ModelConfig, tree_cfg: TreeConfig,
                 sampling: SamplingConfig):
     """One draft->verify->accept round (ref eagle/ea_model.py:236-297)."""
     n_cap = tree_cfg.node_cap
@@ -342,8 +372,9 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
         draft, state.draft_cache, state.pending_tokens, state.pending_hidden,
         state.draft_cache.length, state.n_pending, cfg)
     root_hidden = out[0, jnp.clip(state.n_pending - 1, 0, out.shape[1] - 1)]
+    head = params.lm_head if beam_head is None else beam_head
     tree, beam_state, dcache = topk_generate(
-        draft, params.lm_head, dcache, state.root_token, root_hidden,
+        draft, head, dcache, state.root_token, root_hidden,
         tree_cfg, cfg)
 
     # 2. verify the whole tree in one chunk of node_cap tokens
@@ -408,8 +439,8 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
 
 
 def _spec_decode_loop(state: EngineState, params: LlamaParams,
-                      draft: EagleParams, eos_id, budget, *, max_out: int,
-                      cfg: ModelConfig, tree_cfg: TreeConfig,
+                      draft: EagleParams, beam_head, eos_id, budget, *,
+                      max_out: int, cfg: ModelConfig, tree_cfg: TreeConfig,
                       sampling: SamplingConfig):
     """On-device multi-round loop: while tokens remain, run _spec_round and
     append its accepted tokens to a fixed buffer."""
@@ -422,8 +453,8 @@ def _spec_decode_loop(state: EngineState, params: LlamaParams,
 
     def body(carry):
         st, out, n_out, done, rounds = carry
-        st2, res = _spec_round(st, params, draft, cfg=cfg, tree_cfg=tree_cfg,
-                               sampling=sampling)
+        st2, res = _spec_round(st, params, draft, beam_head, cfg=cfg,
+                               tree_cfg=tree_cfg, sampling=sampling)
         # `active` gates all updates: under vmap the while runs until every
         # lane finishes, so finished lanes must be no-ops.
         active = ~done & (n_out < budget)

@@ -112,3 +112,35 @@ def test_quantized_spec_equals_quantized_ar():
         ar, _ = eng.generate_ar(prompt, max_new_tokens=25, eos_token_id=-1)
         spec, _ = eng.generate(prompt, max_new_tokens=25, eos_token_id=-1)
         assert spec == ar, kind
+
+
+def test_quantized_beam_head_stays_lossless():
+    """beam_head_quant=int8 changes only the draft's proposal scores; under
+    greedy sampling the committed stream must still equal AR exactly."""
+    import dataclasses
+    from flowspec_tpu.config import (
+        EngineConfig, ModelConfig, SamplingConfig, TreeConfig,
+    )
+    from flowspec_tpu.draft.eagle import init_eagle_params
+    from flowspec_tpu.models.llama import init_llama_params
+    from flowspec_tpu.ops.quant import Int8Tensor
+    from flowspec_tpu.runtime import SpecEngine
+
+    mc = dataclasses.replace(ModelConfig.tiny(vocab_size=32, n_layers=2),
+                             dtype="float32")
+    tc = TreeConfig(top_k=8, depth=4, total_tokens=24, expand_tokens=16,
+                    expand_depth=2, node_cap=48, leaf_cap=48, depth_cap=12,
+                    chunk_len=8)
+    cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                       max_seq_len=256, prefill_chunk=16,
+                       beam_head_quant="int8")
+    p = init_llama_params(jax.random.key(0), mc, dtype=jnp.float32)
+    d = init_eagle_params(jax.random.key(100), mc, embed=p.embed,
+                          dtype=jnp.float32)
+    eng = SpecEngine(p, d, cfg)
+    assert isinstance(eng.beam_head, Int8Tensor)
+    prompt = np.random.default_rng(0).integers(3, 30, 12).tolist()
+    ar, _ = eng.generate_ar(prompt, max_new_tokens=30, eos_token_id=-1)
+    spec, stats = eng.generate(prompt, max_new_tokens=30, eos_token_id=-1)
+    assert spec == ar, stats
+    assert stats["accept_per_round"] >= 1.0

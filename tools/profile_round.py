@@ -62,7 +62,8 @@ def main():
     os.environ.setdefault("BENCH_MODE", "spec")
     # reuse bench.main's construction path by inlining its config choices
     if model_kind == "7b":
-        mc = ModelConfig.llama_7b(); max_seq = 1152
+        mc = ModelConfig.llama_7b()
+        max_seq = int(os.environ.get("PROFILE_MAX_SEQ", "1152"))
     elif model_kind == "13b":
         mc = ModelConfig.llama_13b(); max_seq = 512
     elif model_kind == "1b":
