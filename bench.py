@@ -48,7 +48,9 @@ def build_params(mc, quant: str):
                 s = jnp.full(shape[:-2] + shape[-1:],
                              (shape[-2] ** -0.5) / 127.0, jnp.float32)
                 return Int8Tensor(q=q, scale=s)
-            q = jax.random.randint(k, shape, 0, 16, jnp.uint8)
+            q = jax.random.randint(
+                k, shape[:-2] + (shape[-2] // 2,) + shape[-1:], 0, 256,
+                jnp.uint8)
             s = jnp.full(shape[:-2] + (shape[-2] // NF4_BLOCK,) + shape[-1:],
                          shape[-2] ** -0.5, jnp.float32)
             return NF4Tensor(q=q, scale=s)

@@ -73,8 +73,31 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
             rotated.astype(jnp.float32) * sin).astype(x.dtype)
 
 
+_FLASH = {}
+
+
+def _use_flash() -> bool:
+    """FLOWSPEC_FLASH=1 routes multi-row attention through the Pallas
+    online-softmax kernel (ops/tree_attention.py); default off pending the
+    hardware A/B (the XLA path is the measured baseline)."""
+    if "on" not in _FLASH:
+        import os
+        on = bool(os.environ.get("FLOWSPEC_FLASH"))
+        try:
+            on = on and jax.default_backend() not in ("cpu",)
+        except Exception:
+            on = False
+        _FLASH["on"] = on
+    return _FLASH["on"]
+
+
 def attention(q, k_all, v_all, bias, n_rep: int):
     """q (B, nq, T, D); k_all/v_all (B, nkv, S, D); bias (T, S) additive."""
+    if (_use_flash() and q.shape[0] == 1 and q.shape[2] > 1
+            and k_all.shape[2] % 256 == 0):
+        from flowspec_tpu.ops.tree_attention import tree_attention
+        return tree_attention(q, k_all, v_all,
+                              bias.astype(jnp.float32)).astype(q.dtype)
     if n_rep > 1:
         k_all = jnp.repeat(k_all, n_rep, axis=1)
         v_all = jnp.repeat(v_all, n_rep, axis=1)

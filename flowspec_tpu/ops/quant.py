@@ -58,22 +58,24 @@ class Int8Tensor:
 @dataclasses.dataclass(frozen=True)
 class NF4Tensor:
     """w ~= code[q] * scale[block] — blockwise absmax over NF4_BLOCK rows of
-    the contraction dim.
+    the contraction dim, stored PACKED: two 4-bit codes per byte along In
+    (byte i of a column = code(row 2i) << 4 | code(row 2i+1)). Packing is
+    what makes nf4 a real memory format on TPU — 13B fits a 16GB chip at
+    ~6.3GB of packed weights where the unpacked layout OOMed.
 
-    q (..., In, Out) uint8 holding values 0..15 (unpacked layout — TPU has no
-    sub-byte memory wins for compute; HBM savings come from the int8/uint8
-    container and the fused kernel); scale (..., In // 64, Out) float32.
+    q (..., In // 2, Out) uint8; scale (..., In // 64, Out) float32.
     """
     q: jax.Array
     scale: jax.Array
 
     @property
     def shape(self):
-        return self.q.shape
+        sh = self.q.shape
+        return sh[:-2] + (sh[-2] * 2, sh[-1])
 
     @property
     def in_features(self):
-        return self.q.shape[-2]
+        return self.q.shape[-2] * 2
 
     @property
     def out_features(self):
@@ -90,7 +92,8 @@ def quantize_int8(w: jax.Array) -> Int8Tensor:
 
 
 def quantize_nf4(w: jax.Array, block: int = NF4_BLOCK) -> NF4Tensor:
-    """(..., In, Out) -> blockwise NF4 (nearest codebook entry)."""
+    """(..., In, Out) -> blockwise NF4 (nearest codebook entry), packed
+    2 codes/byte along In."""
     *lead, n_in, n_out = w.shape
     assert n_in % block == 0, (n_in, block)
     wf = w.astype(jnp.float32).reshape(*lead, n_in // block, block, n_out)
@@ -100,8 +103,23 @@ def quantize_nf4(w: jax.Array, block: int = NF4_BLOCK) -> NF4Tensor:
     code = jnp.asarray(NF4_CODE)
     idx = jnp.argmin(
         jnp.abs(norm[..., None] - code), axis=-1).astype(jnp.uint8)
-    return NF4Tensor(q=idx.reshape(*lead, n_in, n_out),
-                     scale=scale.squeeze(-2))
+    idx = idx.reshape(*lead, n_in, n_out)
+    return NF4Tensor(q=pack_nf4(idx), scale=scale.squeeze(-2))
+
+
+def pack_nf4(idx: jax.Array) -> jax.Array:
+    """(..., In, Out) uint8 codes 0..15 -> (..., In//2, Out) packed bytes."""
+    *lead, n_in, n_out = idx.shape
+    pairs = idx.reshape(*lead, n_in // 2, 2, n_out)
+    return ((pairs[..., 0, :] << 4) | pairs[..., 1, :]).astype(jnp.uint8)
+
+
+def unpack_nf4(q: jax.Array) -> jax.Array:
+    """(..., In//2, Out) packed bytes -> (..., In, Out) uint8 codes."""
+    *lead, half, n_out = q.shape
+    hi = (q >> 4).astype(jnp.uint8)
+    lo = (q & 0xF).astype(jnp.uint8)
+    return jnp.stack([hi, lo], axis=-2).reshape(*lead, half * 2, n_out)
 
 
 def dequantize(w) -> jax.Array:
@@ -109,10 +127,11 @@ def dequantize(w) -> jax.Array:
     if isinstance(w, Int8Tensor):
         return w.q.astype(jnp.float32) * w.scale[..., None, :]
     if isinstance(w, NF4Tensor):
-        *lead, n_in, n_out = w.q.shape
+        idx = unpack_nf4(w.q)
+        *lead, n_in, n_out = idx.shape
         blocks = w.scale.shape[-2]
         code = jnp.asarray(NF4_CODE)
-        vals = code[w.q.astype(jnp.int32)]
+        vals = code[idx.astype(jnp.int32)]
         vals = vals.reshape(*lead, blocks, n_in // blocks, n_out)
         return (vals * w.scale[..., None, :]).reshape(*lead, n_in, n_out)
     return jnp.asarray(w, jnp.float32)

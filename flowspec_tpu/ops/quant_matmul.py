@@ -116,11 +116,16 @@ def _nf4_decode(q, dtype):
 
 
 def _nf4_kernel(x_ref, q_ref, s_ref, o_ref, *, n_in):
-    # decode in bf16: an f32 intermediate of (In, BN) would blow VMEM at
-    # In ~ 11k (22MB); bf16 halves it and the MXU consumes bf16 anyway
-    vals = _nf4_decode(q_ref[:], jnp.bfloat16)        # (In, BN)
+    # q is PACKED (In//2, BN): two 4-bit codes per byte along the
+    # contraction dim. Decode both nibbles in bf16 (an f32 intermediate of
+    # (In, BN) would blow VMEM at In ~ 11k) and interleave the row pairs.
+    packed = q_ref[:]                                 # (In//2, BN)
+    hi = _nf4_decode(packed >> 4, jnp.bfloat16)
+    lo = _nf4_decode(packed & 0xF, jnp.bfloat16)
+    half, bn_ = hi.shape
+    vals = jnp.stack([hi, lo], axis=1).reshape(n_in, bn_)
     s = s_ref[:].astype(jnp.bfloat16)                 # (In // 64, BN)
-    blocks, bn_ = s.shape
+    blocks, _ = s.shape
     # each block scale covers NF4_BLOCK consecutive contraction rows
     s_rows = jnp.broadcast_to(
         s[:, None, :], (blocks, NF4_BLOCK, bn_)).reshape(n_in, bn_)
@@ -131,9 +136,11 @@ def _nf4_kernel(x_ref, q_ref, s_ref, o_ref, *, n_in):
 
 @jax.jit
 def nf4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
-    """x (B, T, In) @ NF4(q (In, Out) u8, scale (In//64, Out)) -> (B, T, Out)."""
+    """x (B, T, In) @ NF4(q (In//2, Out) packed u8, scale (In//64, Out))
+    -> (B, T, Out)."""
     b, t, n_in = x.shape
     n_out = q.shape[-1]
+    assert q.shape[-2] * 2 == n_in, (q.shape, n_in)
     x2, bt0 = _pad_rows(x.reshape(b * t, n_in))
     bt = x2.shape[0]
     x_bytes = bt * n_in * 2
@@ -153,7 +160,7 @@ def nf4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
         in_specs=[
             pl.BlockSpec((bt, n_in), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_in, bn), lambda n: (0, n),
+            pl.BlockSpec((n_in // 2, bn), lambda n: (0, n),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_in // NF4_BLOCK, bn), lambda n: (0, n),
                          memory_space=pltpu.VMEM),
@@ -163,7 +170,7 @@ def nf4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((bt, n_out), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * bt * n_in * n_out,
-            bytes_accessed=n_in * n_out + bt * n_in * 2 + bt * n_out * 2,
+            bytes_accessed=n_in * n_out // 2 + bt * n_in * 2 + bt * n_out * 2,
             transcendentals=0),
     )(x2, q, scale)
     return out[:bt0].reshape(b, t, n_out)
