@@ -115,23 +115,30 @@ def _nf4_decode(q, dtype):
     return jnp.where(b3, h1, h0).astype(dtype)
 
 
-def _nf4_kernel(x_ref, q_ref, s_ref, o_ref, *, n_in):
-    # q is PACKED (In//2, BN): two 4-bit codes per byte along the
-    # contraction dim. Decode both nibbles in bf16 (an f32 intermediate of
-    # (In, BN) would blow VMEM at In ~ 11k) and interleave the row pairs.
-    packed = q_ref[:]                                 # (In//2, BN)
+def _nf4_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *, n_in):
+    # q is PACKED (In//2, BN): byte i holds code(row 2i) << 4 | code(row
+    # 2i+1). Rather than interleaving decoded rows back to (In, BN) — a
+    # sublane shuffle whose Mosaic lowering burns >16MB of stack temps —
+    # the contraction is split: even rows dot x's even lanes, odd rows dot
+    # the odd lanes (x is deinterleaved OUTSIDE the kernel by XLA, it's
+    # tiny). Decode in bf16: an f32 intermediate would double VMEM, and the
+    # MXU consumes bf16 anyway. Mosaic has no i8-vector shrui: extract
+    # nibbles in i32.
+    packed = q_ref[:].astype(jnp.int32)               # (In//2, BN)
     hi = _nf4_decode(packed >> 4, jnp.bfloat16)
     lo = _nf4_decode(packed & 0xF, jnp.bfloat16)
-    half, bn_ = hi.shape
-    vals = jnp.stack([hi, lo], axis=1).reshape(n_in, bn_)
     s = s_ref[:].astype(jnp.bfloat16)                 # (In // 64, BN)
-    blocks, _ = s.shape
-    # each block scale covers NF4_BLOCK consecutive contraction rows
-    s_rows = jnp.broadcast_to(
-        s[:, None, :], (blocks, NF4_BLOCK, bn_)).reshape(n_in, bn_)
-    w = (vals * s_rows).astype(x_ref.dtype)
-    o_ref[:] = jnp.dot(x_ref[:], w,
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    blocks, bn_ = s.shape
+    half = n_in // 2
+    # block b covers global rows [64b, 64b+64) = half-rows [32b, 32b+32)
+    # for both the even and the odd stream
+    s_half = jnp.broadcast_to(
+        s[:, None, :], (blocks, NF4_BLOCK // 2, bn_)).reshape(half, bn_)
+    acc = jnp.dot(xe_ref[:], (hi * s_half).astype(xe_ref.dtype),
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:], (lo * s_half).astype(xo_ref.dtype),
+                   preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 @jax.jit
@@ -144,21 +151,29 @@ def nf4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
     x2, bt0 = _pad_rows(x.reshape(b * t, n_in))
     bt = x2.shape[0]
     x_bytes = bt * n_in * 2
-    if x_bytes > VMEM_BUDGET - 4 * n_in * 64:
+    # Per-output-column stack bytes surviving Mosaic's buffer reuse:
+    # q tile (In/2 u8, double-buffered) + i32 nibble extract + bf16
+    # hi/lo/vals/s_rows intermediates ~= 6 * In (measured: In=10240 bn=256
+    # allocated 16.04M — 5.65*In/col — against the 16M scoped limit).
+    budget_bn = (15 * 1024 * 1024 - x_bytes) // (6 * n_in + 2 * bt)
+    if budget_bn < 128:     # 128 = TPU lane minimum for a block dim
         from flowspec_tpu.ops.quant import NF4Tensor, dequantize
         wd = dequantize(NF4Tensor(q=q, scale=scale)).astype(x.dtype)
         return jnp.einsum("bti,io->bto", x, wd,
                           preferred_element_type=jnp.float32).astype(x.dtype)
-    # q tile (In x bn u8, double-buffered) + bf16 decode (In x bn x 2) + x
-    budget_bn = max(64, (VMEM_BUDGET - x_bytes) // (4 * n_in + 2 * bt))
     bn = _tile(n_out, min(BN, budget_bn))
     assert n_in % NF4_BLOCK == 0, n_in
+    # deinterleave x into even/odd contraction lanes (see _nf4_kernel)
+    x3 = x2.reshape(bt, n_in // 2, 2)
+    xe, xo = x3[:, :, 0], x3[:, :, 1]
 
     out = pl.pallas_call(
         functools.partial(_nf4_kernel, n_in=n_in),
         grid=(n_out // bn,),
         in_specs=[
-            pl.BlockSpec((bt, n_in), lambda n: (0, 0),
+            pl.BlockSpec((bt, n_in // 2), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n_in // 2), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_in // 2, bn), lambda n: (0, n),
                          memory_space=pltpu.VMEM),
@@ -172,5 +187,5 @@ def nf4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
             flops=2 * bt * n_in * n_out,
             bytes_accessed=n_in * n_out // 2 + bt * n_in * 2 + bt * n_out * 2,
             transcendentals=0),
-    )(x2, q, scale)
+    )(xe, xo, q, scale)
     return out[:bt0].reshape(b, t, n_out)

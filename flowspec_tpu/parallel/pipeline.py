@@ -118,6 +118,38 @@ def _last_stage_flight(fl: Flight, p: int) -> Flight:
                   n=jax.lax.all_gather(fl.n, "stage")[p - 1])
 
 
+def _pad_layer_stack(params, split, per):
+    """Re-stack the (L, ...) layer pytree onto p * per slots so stage s's
+    contiguous slot block [s*per, (s+1)*per) holds its `split[s]` layers
+    (global order preserved), with the remaining slots ALL-ZERO layers.
+
+    A zero layer is an exact identity on the hidden stream: wo == 0 zeroes
+    the attention branch and w_down == 0 zeroes the MLP branch, so both
+    residual adds contribute nothing (models/llama.py:decoder_layer). Zeroed
+    quantized containers dequantize to zero (q == 0, scale == 0). The padded
+    slots still burn one layer-forward of FLOPs, but turn time is the max
+    over stages, so under-filled stages pay nothing extra in wall clock.
+
+    Ref: uneven splits 0+8+8+8+8 via tools/split_and_save_models.py:33-57.
+    """
+    offsets = np.concatenate([[0], np.cumsum(split)])
+    idx = np.zeros(per * len(split), np.int32)
+    active = np.zeros(per * len(split), bool)
+    for s, n_s in enumerate(split):
+        idx[s * per:s * per + n_s] = offsets[s] + np.arange(n_s)
+        active[s * per:s * per + n_s] = True
+    idx_j = jnp.asarray(idx)
+    act_j = jnp.asarray(active)
+
+    def pad(leaf):
+        taken = jnp.take(leaf, idx_j, axis=0)
+        mask = act_j.reshape((-1,) + (1,) * (taken.ndim - 1))
+        return jnp.where(mask, taken, jnp.zeros_like(taken))
+
+    lp = jax.tree.map(pad, params.layers)
+    return dataclasses.replace(params, layers=lp)
+
+
 class _Carry(NamedTuple):
     # replicated
     tree: TokenTree
@@ -171,8 +203,25 @@ class PipelineEngine:
             mesh = stage_mesh(p_stages)
         self.mesh = mesh
         self.p = p_stages
-        assert mc.num_hidden_layers % p_stages == 0, \
-            "layer count must divide stages evenly (uneven splits: later)"
+        # Layer-to-stage assignment (ref splits 0+8+8+8+8 via
+        # tools/split_and_save_models.py:33-57; config/run_config.py:120).
+        # Uneven splits pad the stacked layer axis to p * max(split) with
+        # all-zero layers: wo == 0 and w_down == 0 make both residual
+        # branches exact zero-contributions, so a padded slot is an identity
+        # layer — no gating in the scan body, no dynamic shapes.
+        topo = cfg.topology
+        if topo.layers_per_stage and topo.total_layers == mc.num_hidden_layers \
+                and len(topo.layers_per_stage) == p_stages:
+            split = tuple(topo.layers_per_stage)
+        else:
+            from flowspec_tpu.config import StageTopology
+            split = StageTopology.even(mc.num_hidden_layers,
+                                       p_stages).layers_per_stage
+        self.layer_split = split
+        per = max(split)
+        self.n_slots = per * p_stages
+        if self.n_slots != mc.num_hidden_layers:
+            params = _pad_layer_stack(params, split, per)
         # Combined PP x TP over a (stage, tp) mesh (parallel/mesh.py:
         # stage_tp_mesh): the round stays MANUAL over `stage` (ppermute ring,
         # replicated control flow) while `tp` is left to GSPMD as an auto
@@ -344,7 +393,7 @@ class PipelineEngine:
         # Margin beyond max_seq: the tree region + the compaction window
         # (dynamic_update_slice clamps starts, so writes must always fit).
         kv_len = self.cfg.max_seq_len + 2 * tc.node_cap + tc.depth_cap
-        kv = init_kv_cache(mc.num_hidden_layers, 1, mc.num_key_value_heads,
+        kv = init_kv_cache(self.n_slots, 1, mc.num_key_value_heads,
                            kv_len, mc.head_dim_, dt)
         kv_spec = (P("stage", None, "tp") if self.tp > 1 else P("stage"))
         kv = KVCache(

@@ -190,3 +190,31 @@ def test_none_expand_fires_and_stays_lossless():
         else:
             assert tot_fires == 0
     assert rounds[True] <= rounds[False], rounds
+
+
+def test_uneven_layer_split_lossless():
+    """Uneven layer-to-stage splits (ref 0+8+8+8+8,
+    tools/split_and_save_models.py:33-57): the stacked layer axis pads to
+    p * max(split) with all-zero identity layers. 6 layers on 4 stages
+    (auto-split 1+1+2+2) and the reference's empty-first-stage shape
+    (0+2+2+2) must both emit exactly the AR stream."""
+    mc = ModelConfig.tiny(vocab_size=12, n_layers=6)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    tc = TreeConfig(top_k=8, depth=4, total_tokens=24, expand_tokens=12,
+                    expand_depth=2, node_cap=64, leaf_cap=64, depth_cap=14,
+                    chunk_len=6, chunk_cap=12)
+    p = init_llama_params(jax.random.key(11), mc, dtype=jnp.float32)
+    d = init_eagle_params(jax.random.key(111), mc, embed=p.embed,
+                          dtype=jnp.float32)
+    prompt = list(np.random.default_rng(3).integers(3, 11, 9))
+    topos = [StageTopology.even(6, 4),
+             StageTopology(num_stages=4, layers_per_stage=(0, 2, 2, 2))]
+    for topo in topos:
+        cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                           max_seq_len=256, prefill_chunk=8, topology=topo)
+        ref = SpecEngine(p, d, cfg)
+        ar, _ = ref.generate_ar(prompt, max_new_tokens=20, eos_token_id=-1)
+        eng = PipelineEngine(p, d, cfg, schedule="continuous")
+        assert eng.layer_split == topo.layers_per_stage
+        out, stats = eng.generate(prompt, max_new_tokens=20, eos_token_id=-1)
+        assert out == ar, (topo.layers_per_stage, stats)
