@@ -43,14 +43,23 @@ def build_params(mc, quant: str):
         dt = jnp.dtype(mc.dtype)
 
         def q_of(k, shape):
+            # generate per-layer under lax.map: randint materializes a
+            # uint32 bit buffer of the full shape, and a whole stacked
+            # (L, In, Out) one is a multi-GB transient that lands on top of
+            # the (async-queued) finished leaves and OOMs 13B; per-layer
+            # the transient is ~50MB and the buffer is reused
+            ks = jax.random.split(k, shape[0])
             if quant == "int8":
-                q = jax.random.randint(k, shape, -127, 128, jnp.int8)
+                q = jax.lax.map(
+                    lambda kk: jax.random.randint(kk, shape[1:], -127, 128,
+                                                  jnp.int8), ks)
                 s = jnp.full(shape[:-2] + shape[-1:],
                              (shape[-2] ** -0.5) / 127.0, jnp.float32)
                 return Int8Tensor(q=q, scale=s)
-            q = jax.random.randint(
-                k, shape[:-2] + (shape[-2] // 2,) + shape[-1:], 0, 256,
-                jnp.uint8)
+            q = jax.lax.map(
+                lambda kk: jax.random.randint(
+                    kk, (shape[-2] // 2,) + shape[-1:], 0, 256, jnp.uint8),
+                ks)
             s = jnp.full(shape[:-2] + (shape[-2] // NF4_BLOCK,) + shape[-1:],
                          shape[-2] ** -0.5, jnp.float32)
             return NF4Tensor(q=q, scale=s)
@@ -75,6 +84,11 @@ def build_params(mc, quant: str):
     if quant != "none":
         from flowspec_tpu.draft.eagle import quantize_eagle_params
         draft = quantize_eagle_params(draft, quant)
+    # hard sync before decode starts: block_until_ready doesn't reliably
+    # block through the tunneled backend; a scalar device->host transfer
+    # does. Without it the generation transients above stay queued and can
+    # stack on top of the decode working set (13B OOMed this way).
+    float(jnp.sum(params.final_norm))
     return params, draft
 
 

@@ -100,9 +100,13 @@ def quantize_nf4(w: jax.Array, block: int = NF4_BLOCK) -> NF4Tensor:
     absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     scale = jnp.maximum(absmax, 1e-12)                # (..., blocks, 1, Out)
     norm = wf / scale
+    # nearest codebook entry WITHOUT broadcasting norm against all 16 codes
+    # (that materializes a 16x f32 tensor — 3.2GB for a 13B draft matrix):
+    # NF4_CODE is sorted, so nearest == searchsorted on the midpoints;
+    # side='left' sends exact midpoints down, matching argmin's first-hit.
     code = jnp.asarray(NF4_CODE)
-    idx = jnp.argmin(
-        jnp.abs(norm[..., None] - code), axis=-1).astype(jnp.uint8)
+    mids = (code[1:] + code[:-1]) * 0.5
+    idx = jnp.searchsorted(mids, norm, side="left").astype(jnp.uint8)
     idx = idx.reshape(*lead, n_in, n_out)
     return NF4Tensor(q=pack_nf4(idx), scale=scale.squeeze(-2))
 

@@ -29,7 +29,7 @@ from flowspec_tpu.config import EngineConfig
 from flowspec_tpu.draft.eagle import EagleParams
 from flowspec_tpu.models.llama import LlamaParams
 from flowspec_tpu.runtime.engine import (
-    SpecEngine, _spec_decode_loop, _spec_round,
+    ServeCtx, SpecEngine, _spec_decode_loop, _spec_round,
 )
 
 
@@ -45,6 +45,11 @@ class BatchedSpecEngine(SpecEngine):
             functools.partial(_spec_round, cfg=cfg.model, tree_cfg=cfg.tree,
                               sampling=cfg.sampling),
             in_axes=(0, None, None, None)), donate_argnums=(0,))
+        # serve round: mixed prefill/decode lanes (ServeCtx vmapped along 0)
+        self._vserve = jax.jit(jax.vmap(
+            functools.partial(_spec_round, cfg=cfg.model, tree_cfg=cfg.tree,
+                              sampling=cfg.sampling),
+            in_axes=(0, None, None, None, 0)), donate_argnums=(0,))
         self._vloops = {}
 
     def _get_vloop(self, max_out: int):
@@ -137,34 +142,54 @@ class BatchedSpecEngine(SpecEngine):
                       "per_request": new_tokens}
 
     # ------------------------------------------------------------------
+    def _serve_ctx(self, prompt=None):
+        """ServeCtx for one slot; empty (inactive) when prompt is None."""
+        p_cap = self.cfg.max_seq_len
+        buf = np.zeros((p_cap,), np.int32)
+        n = 0
+        if prompt is not None:
+            pr = np.asarray(prompt, np.int32).reshape(-1)
+            n = len(pr)
+            buf[:n] = pr
+        return ServeCtx(prompt_buf=jnp.asarray(buf),
+                        prompt_len=jnp.asarray(n, jnp.int32),
+                        prompt_pos=jnp.zeros((), jnp.int32),
+                        active=jnp.asarray(prompt is not None))
+
     def serve(self, prompts: Sequence, max_new_tokens=None,
               eos_token_id: int = 2, seed: int = 0):
-        """Continuous batching: up to `batch_size` slots decode concurrently;
-        a finished slot is refilled from the queue the same round. Returns
-        outputs in the order of `prompts` plus utilization stats."""
+        """TOKEN-LEVEL continuous batching: up to `batch_size` slots run
+        synchronized rounds; a slot whose request finishes is refilled from
+        the queue and spends its next rounds consuming prompt-chain chunks
+        (emitting nothing) while the other slots keep decoding — a refill
+        never stalls the batch (the reference cannot serve at all: batch
+        size 1 is asserted at eagle/kv_cache.py:91). Returns outputs in
+        `prompts` order plus utilization stats."""
         max_new = max_new_tokens or self.cfg.max_new_tokens
         b = self.batch_size
+        for p in prompts:
+            self._check_budget(p, max_new)
         queue = list(range(len(prompts)))
         outs: List[list] = [list(np.asarray(p, np.int64)) for p in prompts]
         new_tokens = [0] * len(prompts)
         finished = [False] * len(prompts)
 
         slot_req = [-1] * b          # which request occupies each slot
-        states = []
+        states, ctxs = [], []
         for s in range(b):
-            if queue:
-                r = queue.pop(0)
-                slot_req[s] = r
-                states.append(self._prefill_one(prompts[r], seed + r))
-            else:
-                states.append(self.init_state(seed + 1000 + s))
+            r = queue.pop(0) if queue else -1
+            slot_req[s] = r
+            states.append(self.init_state(seed + (r if r >= 0 else 1000 + s)))
+            ctxs.append(self._serve_ctx(prompts[r] if r >= 0 else None))
         batched = self._stack_states(states)
+        bctx = self._stack_states(ctxs)
 
         rounds = 0
         busy_slot_rounds = 0
         while any(r >= 0 for r in slot_req):
-            batched, res = self._vround(batched, self.params, self.draft,
-                                        self.beam_head)
+            batched, res, bctx = self._vserve(batched, self.params,
+                                              self.draft, self.beam_head,
+                                              bctx)
             rounds += 1
             n_acc = np.asarray(res.n_accepted)
             acc = np.asarray(res.accepted)
@@ -180,13 +205,15 @@ class BatchedSpecEngine(SpecEngine):
                         finished[r] = True
                         break
                 if finished[r]:
-                    if queue:                      # refill the slot
-                        nr = queue.pop(0)
-                        slot_req[s] = nr
-                        st = self._prefill_one(prompts[nr], seed + nr)
-                        batched = self._write_slot(batched, st, s)
-                    else:
-                        slot_req[s] = -1
+                    # refill with a fresh state + prompt context: the new
+                    # request prefills chain-wise inside subsequent rounds
+                    nr = queue.pop(0) if queue else -1
+                    slot_req[s] = nr
+                    batched = self._write_slot(
+                        batched, self.init_state(seed + max(nr, 0)), s)
+                    bctx = self._write_slot(
+                        bctx, self._serve_ctx(
+                            prompts[nr] if nr >= 0 else None), s)
         total = sum(new_tokens)
         return outs, {"new_tokens": total, "rounds": rounds,
                       "per_request": new_tokens,

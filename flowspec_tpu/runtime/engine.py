@@ -46,7 +46,7 @@ from flowspec_tpu.tree.posterior import (
     evaluate_posterior_greedy, evaluate_posterior_stochastic,
 )
 from flowspec_tpu.tree.sampling import sample_token
-from flowspec_tpu.tree.types import tree_attention_bias
+from flowspec_tpu.tree.types import TokenTree, tree_attention_bias
 
 
 def make_beam_head(params, draft, cfg: EngineConfig):
@@ -81,6 +81,22 @@ class EngineState:
 class RoundResult:
     accepted: jax.Array     # (D_cap,) int32 — tokens committed this round, -1 pad
     n_accepted: jax.Array   # () int32  (== accept_len + 1, incl. old root)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ServeCtx:
+    """Per-slot request context for token-level continuous batching: while
+    prompt_pos < prompt_len the slot's round consumes the next chain of
+    prompt tokens instead of verifying a drafted tree (the chain IS a
+    degenerate tree — a root->leaf path — so the verify/commit machinery is
+    shared; see _spec_round). Replaces the reference's batch-1-only serving
+    (eagle/kv_cache.py:91) AND round-level refill, where a new request's
+    synchronous prefill stalled every other slot for its full duration."""
+    prompt_buf: jax.Array   # (P,) int32 — the slot's full prompt, 0-padded
+    prompt_len: jax.Array   # () int32
+    prompt_pos: jax.Array   # () int32 — tokens already chained into the KV
+    active: jax.Array       # () bool — slot holds a live request
 
 
 class SpecEngine:
@@ -360,10 +376,42 @@ def _pin_param_layouts(params):
     return params
 
 
+def _chain_tree(serve: ServeCtx, tree_cfg: TreeConfig):
+    """Next prompt chunk as a degenerate TokenTree: a root->leaf chain of
+    up to depth_cap tokens (node i's parent is i-1, one retrieve row).
+    Verifying it through the standard round machinery appends its KV,
+    produces its hiddens for the draft context, and yields the last node's
+    logits — i.e. exactly a prefill step, batched alongside decode lanes."""
+    cl = tree_cfg.depth_cap
+    n_cap, l_cap = tree_cfg.node_cap, tree_cfg.leaf_cap
+    p_cap = serve.prompt_buf.shape[0]
+    pos = serve.prompt_pos
+    n_chain = jnp.clip(serve.prompt_len - pos, 1, cl)
+    i_n = jnp.arange(n_cap, dtype=jnp.int32)
+    toks = serve.prompt_buf[jnp.clip(pos + i_n, 0, p_cap - 1)]
+    row0 = jnp.where(jnp.arange(tree_cfg.depth_cap) < n_chain,
+                     jnp.arange(tree_cfg.depth_cap, dtype=jnp.int32), -1)
+    retrieve = jnp.full((l_cap, tree_cfg.depth_cap), -1,
+                        jnp.int32).at[0].set(row0)
+    return TokenTree(
+        tokens=jnp.where(i_n < n_chain, toks, -1),
+        parents=jnp.where((i_n > 0) & (i_n < n_chain), i_n - 1, -1),
+        depth=jnp.where(i_n < n_chain, i_n, 0),
+        scores=jnp.zeros((n_cap,), jnp.float32),
+        retrieve=retrieve,
+        n_nodes=n_chain,
+        n_leaves=jnp.ones((), jnp.int32)), n_chain
+
+
 def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
-                beam_head=None, *, cfg: ModelConfig, tree_cfg: TreeConfig,
+                beam_head=None, serve: ServeCtx | None = None, *,
+                cfg: ModelConfig, tree_cfg: TreeConfig,
                 sampling: SamplingConfig):
-    """One draft->verify->accept round (ref eagle/ea_model.py:236-297)."""
+    """One draft->verify->accept round (ref eagle/ea_model.py:236-297).
+
+    With `serve`, a slot whose prompt is not fully consumed runs the round
+    over a prompt-chain tree instead (see _chain_tree) and emits no tokens;
+    returns (state, result, serve') instead of (state, result)."""
     n_cap = tree_cfg.node_cap
     s_max = state.base_cache.max_len
 
@@ -376,6 +424,13 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
     tree, beam_state, dcache = topk_generate(
         draft, head, dcache, state.root_token, root_hidden,
         tree_cfg, cfg)
+
+    if serve is not None:
+        chain, n_chain = _chain_tree(serve, tree_cfg)
+        in_pref = serve.active & (serve.prompt_pos < serve.prompt_len)
+        tree = jax.tree_util.tree_map(
+            lambda c, t: jnp.where(
+                jnp.reshape(in_pref, (1,) * c.ndim), c, t), chain, tree)
 
     # 2. verify the whole tree in one chunk of node_cap tokens
     commit = state.commit_len
@@ -401,11 +456,30 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
             # a node has at most top_k distinct children; 2x is headroom
             max_trials=min(2 * tree_cfg.top_k, tree_cfg.leaf_cap))
     new_root = sample_token(k2, res.sample_p, sampling, is_probs=True)
+    best_leaf, accept_len = res.best_leaf, res.accept_len
+
+    if serve is not None:
+        # Prefill lanes: the whole chain is "accepted" by construction; the
+        # next root is the next prompt token, or — once the prompt is
+        # exhausted — a sample from the last chain node's logits (the same
+        # sampling prefill() does after its final chunk).
+        pos = serve.prompt_pos
+        p_cap = serve.prompt_buf.shape[0]
+        pref_done = pos + n_chain >= serve.prompt_len
+        sampled = sample_token(k2, node_logits[jnp.clip(n_chain - 1, 0,
+                                                        n_cap - 1)],
+                               sampling, is_probs=False)
+        next_prompt = serve.prompt_buf[jnp.clip(pos + n_chain, 0, p_cap - 1)]
+        best_leaf = jnp.where(in_pref, 0, best_leaf)
+        accept_len = jnp.where(in_pref, n_chain - 1, accept_len)
+        new_root = jnp.where(in_pref,
+                             jnp.where(pref_done, sampled, next_prompt),
+                             new_root)
 
     # 4. commit: path nodes [root, a_1..a_k]
     d_cap = tree_cfg.depth_cap
-    path = tree.retrieve[res.best_leaf]                # (D,)
-    n_acc = res.accept_len + 1
+    path = tree.retrieve[best_leaf]                    # (D,)
+    n_acc = accept_len + 1
     d_idx = jnp.arange(d_cap, dtype=jnp.int32)
     path_valid = d_idx < n_acc
     safe_path = jnp.clip(path, 0, n_cap - 1)
@@ -435,7 +509,19 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
         n_pending=n_acc,
         key=key,
     )
-    return new_state, RoundResult(accepted=accepted_tokens, n_accepted=n_acc)
+    if serve is None:
+        return new_state, RoundResult(accepted=accepted_tokens,
+                                      n_accepted=n_acc)
+    # idle slots are no-ops; prefill lanes commit but emit nothing
+    new_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(jnp.reshape(serve.active, (1,) * a.ndim),
+                               a, b), new_state, state)
+    serve2 = dataclasses.replace(
+        serve, prompt_pos=serve.prompt_pos +
+        jnp.where(in_pref, n_chain, 0))
+    n_emit = jnp.where(serve.active & ~in_pref, n_acc, 0)
+    return new_state, RoundResult(accepted=accepted_tokens,
+                                  n_accepted=n_emit), serve2
 
 
 def _spec_decode_loop(state: EngineState, params: LlamaParams,

@@ -73,3 +73,22 @@ def test_serve_eos_and_refill():
     assert eos in gen0 and gen0.index(eos) == len(gen0) - 1
     # the second request ran after refill and produced tokens
     assert len(outs[1]) > len(prompts[1])
+
+
+def test_serve_long_prompt_refill_token_level():
+    """Token-level continuous batching: a refilled request whose prompt
+    needs MULTIPLE chain rounds (prompt_len >> depth_cap) prefills inside
+    the shared rounds while the other slot keeps decoding — and every
+    output still equals its solo AR stream."""
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(3, 14, 8).tolist(),
+               rng.integers(3, 14, 9).tolist(),
+               rng.integers(3, 14, 45).tolist(),   # ~5 chain rounds at cap 10
+               rng.integers(3, 14, 7).tolist()]
+    refs = [eng.generate_ar(p, max_new_tokens=10, eos_token_id=-1)[0]
+            for p in prompts]
+    outs, stats = eng.serve(prompts, max_new_tokens=10, eos_token_id=-1)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert o == r, (i, o, r)
+    assert stats["per_request"] == [10] * 4
