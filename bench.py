@@ -11,7 +11,7 @@ environment), which makes draft acceptance worst-case (~1 token/round);
 real EAGLE weights only raise tokens/s from here.
 
 Env knobs: BENCH_MODEL=7b|1b|tiny (default 7b), BENCH_TOKENS (default 128),
-BENCH_MODE=spec|ar (default spec), BENCH_QUANT=none|int8|nf4 (default int8
+BENCH_MODE=spec|ar (default spec), BENCH_QUANT=none|int8|nf4|int4 (default int8
 for 7b — the reference's headline distributed config is int8 weight-only),
 BENCH_BATCH=N (default 1; N>1 measures aggregate tokens/s of N concurrent
 requests through the vmapped fused decode loop).
@@ -36,7 +36,8 @@ def build_params(mc, quant: str):
     key = jax.random.key(0)
     if quant != "none":
         from flowspec_tpu.models.llama import LlamaParams, LlamaLayerParams
-        from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor, NF4_BLOCK
+        from flowspec_tpu.ops.quant import (
+            Int4Tensor, Int8Tensor, NF4Tensor, NF4_BLOCK)
         h, i, v = mc.hidden_size, mc.intermediate_size, mc.vocab_size
         L, d = mc.num_hidden_layers, mc.head_dim_
         nq, nkv = mc.num_attention_heads, mc.num_key_value_heads
@@ -60,8 +61,13 @@ def build_params(mc, quant: str):
                 lambda kk: jax.random.randint(
                     kk, (shape[-2] // 2,) + shape[-1:], 0, 256, jnp.uint8),
                 ks)
-            s = jnp.full(shape[:-2] + (shape[-2] // NF4_BLOCK,) + shape[-1:],
-                         shape[-2] ** -0.5, jnp.float32)
+            blocks = shape[:-2] + (shape[-2] // NF4_BLOCK,) + shape[-1:]
+            if quant == "int4":
+                # int4 codes decode to (nibble-8) in [-8,7]; scale down by 7
+                # so weight magnitudes match the nf4 branch's [-1,1] codes
+                s = jnp.full(blocks, shape[-2] ** -0.5 / 7.0, jnp.float32)
+                return Int4Tensor(q=q, scale=s)
+            s = jnp.full(blocks, shape[-2] ** -0.5, jnp.float32)
             return NF4Tensor(q=q, scale=s)
 
         ks = jax.random.split(jax.random.key(7), 10)
@@ -165,7 +171,9 @@ def main():
     toks = stats["new_tokens"]
     tps = toks / dt
 
-    baseline = 8.70   # FlowSpec LLaMA2-7B greedy mean, BASELINE.md
+    # FlowSpec greedy means (BASELINE.md; reference README.md:136-144):
+    # 7B-class 8.70 tok/s, 13B-class 2.21 tok/s on the 5-Jetson cluster
+    baseline = 2.21 if model_kind == "13b" else 8.70
     qtag = "" if quant == "none" else f"_{quant}"
     btag = "" if batch <= 1 else f"_b{batch}"
     print(json.dumps({

@@ -71,8 +71,9 @@ def quantize_eagle_params(p: EagleParams, kind: str) -> EagleParams:
     a large slice of round latency. The reference does not quantize its
     draft (stage_ea_model.py:113-164 loads it full-precision); quality-wise
     the draft only proposes — verification still uses base-model logits."""
-    assert kind in ("int8", "nf4")
-    fn = quantize_int8 if kind == "int8" else quantize_nf4
+    from flowspec_tpu.ops.quant import quantize_int4
+    fn = {"int8": quantize_int8, "nf4": quantize_nf4,
+          "int4": quantize_int4}[kind]
     import dataclasses as _dc
     return _dc.replace(p, **{f: fn(getattr(p, f))
                              for f in EAGLE_QUANT_FIELDS})

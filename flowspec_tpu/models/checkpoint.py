@@ -22,7 +22,7 @@ from flowspec_tpu.models.llama import LlamaLayerParams, LlamaParams
 from flowspec_tpu.models.mixtral import MixtralLayerParams, MixtralParams
 from flowspec_tpu.models.kv_cache import KVCache
 from flowspec_tpu.draft.eagle import EagleParams
-from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor
+from flowspec_tpu.ops.quant import Int4Tensor, Int8Tensor, NF4Tensor
 
 
 def _engine_classes():
@@ -34,7 +34,7 @@ def _engine_classes():
 
 _CLASSES = {c.__name__: c for c in (
     LlamaParams, LlamaLayerParams, MixtralParams, MixtralLayerParams,
-    EagleParams, Int8Tensor, NF4Tensor, KVCache)}
+    EagleParams, Int4Tensor, Int8Tensor, NF4Tensor, KVCache)}
 
 
 def _all_classes():

@@ -274,8 +274,9 @@ def quantize_llama_params(params: LlamaParams, kind: str) -> LlamaParams:
     via BitsAndBytesConfig, config/run_config.py:69-75). Embeddings, lm_head,
     norms and biases stay in the working dtype, matching HF's bnb behavior.
     Stacked (L, In, Out) leaves quantize per layer along the leading axis."""
-    assert kind in ("int8", "nf4")
-    fn = quantize_int8 if kind == "int8" else quantize_nf4
+    from flowspec_tpu.ops.quant import quantize_int4
+    fn = {"int8": quantize_int8, "nf4": quantize_nf4,
+          "int4": quantize_int4}[kind]
     lp = params.layers
     lp = dataclasses.replace(lp, **{f: fn(getattr(lp, f))
                                     for f in QUANT_FIELDS})

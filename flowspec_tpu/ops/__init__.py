@@ -2,8 +2,9 @@
 kernels replacing bitsandbytes) and attention kernels."""
 
 from flowspec_tpu.ops.quant import (
-    Int8Tensor, NF4Tensor, quantize_int8, quantize_nf4, dequantize, qmatmul,
+    Int4Tensor, Int8Tensor, NF4Tensor, quantize_int4, quantize_int8,
+    quantize_nf4, dequantize, qmatmul,
 )
 
-__all__ = ["Int8Tensor", "NF4Tensor", "quantize_int8", "quantize_nf4",
-           "dequantize", "qmatmul"]
+__all__ = ["Int4Tensor", "Int8Tensor", "NF4Tensor", "quantize_int4",
+           "quantize_int8", "quantize_nf4", "dequantize", "qmatmul"]

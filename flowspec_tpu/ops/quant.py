@@ -82,6 +82,39 @@ class NF4Tensor:
         return self.q.shape[-1]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Int4Tensor:
+    """w ~= (q - 8) * scale[block] — blockwise LINEAR 4-bit, packed two
+    codes per byte along In like NF4Tensor.
+
+    TPU-native companion to NF4 (which has no reference-side equivalent to
+    cite beyond bnb's 4-bit family): NF4's 16-entry codebook needs a
+    15-select decode tree per nibble on the VPU (~25 vector ops/weight —
+    measured VPU-bound at 13B, ~3.5x slower than the HBM roofline), while a
+    linear code decodes in ~5 ops (nibble - 8, cast, scale), keeping the
+    matmul HBM-bound. Levels are -7..7 (absmax/7); -8 is unused so the
+    grid is symmetric.
+
+    q (..., In//2, Out) uint8; scale (..., In//64, Out) float32.
+    """
+    q: jax.Array
+    scale: jax.Array
+
+    @property
+    def shape(self):
+        sh = self.q.shape
+        return sh[:-2] + (sh[-2] * 2, sh[-1])
+
+    @property
+    def in_features(self):
+        return self.q.shape[-2] * 2
+
+    @property
+    def out_features(self):
+        return self.q.shape[-1]
+
+
 def quantize_int8(w: jax.Array) -> Int8Tensor:
     """(..., In, Out) -> per-out-channel symmetric int8."""
     wf = w.astype(jnp.float32)
@@ -111,6 +144,19 @@ def quantize_nf4(w: jax.Array, block: int = NF4_BLOCK) -> NF4Tensor:
     return NF4Tensor(q=pack_nf4(idx), scale=scale.squeeze(-2))
 
 
+def quantize_int4(w: jax.Array, block: int = NF4_BLOCK) -> Int4Tensor:
+    """(..., In, Out) -> blockwise linear int4 (levels -7..7, absmax/7),
+    packed 2 codes/byte along In."""
+    *lead, n_in, n_out = w.shape
+    assert n_in % block == 0, (n_in, block)
+    wf = w.astype(jnp.float32).reshape(*lead, n_in // block, block, n_out)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int32) + 8
+    idx = q.reshape(*lead, n_in, n_out).astype(jnp.uint8)
+    return Int4Tensor(q=pack_nf4(idx), scale=scale.squeeze(-2))
+
+
 def pack_nf4(idx: jax.Array) -> jax.Array:
     """(..., In, Out) uint8 codes 0..15 -> (..., In//2, Out) packed bytes."""
     *lead, n_in, n_out = idx.shape
@@ -138,6 +184,13 @@ def dequantize(w) -> jax.Array:
         vals = code[idx.astype(jnp.int32)]
         vals = vals.reshape(*lead, blocks, n_in // blocks, n_out)
         return (vals * w.scale[..., None, :]).reshape(*lead, n_in, n_out)
+    if isinstance(w, Int4Tensor):
+        idx = unpack_nf4(w.q)
+        *lead, n_in, n_out = idx.shape
+        blocks = w.scale.shape[-2]
+        vals = idx.astype(jnp.float32) - 8.0
+        vals = vals.reshape(*lead, blocks, n_in // blocks, n_out)
+        return (vals * w.scale[..., None, :]).reshape(*lead, n_in, n_out)
     return jnp.asarray(w, jnp.float32)
 
 
@@ -151,7 +204,11 @@ def _use_pallas(kind: str) -> bool:
       nothing. Default OFF.
     - nf4: XLA must materialize a bf16 dequant copy per matmul (7.9 tok/s);
       the fused kernel decodes in VMEM (13.8 tok/s). Default ON (on TPU).
-    FLOWSPEC_PALLAS=1 forces both on, FLOWSPEC_NO_PALLAS=1 both off."""
+    - int4: same packed-4-bit memory layout as nf4 but a linear code that
+      decodes in ~5 VPU ops instead of NF4's 15-select tree, so the fused
+      kernel stays HBM-bound (13B spec: 16.5 tok/s vs nf4's 9.0). Default
+      ON (on TPU).
+    FLOWSPEC_PALLAS=1 forces all on, FLOWSPEC_NO_PALLAS=1 all off."""
     if kind not in _USE_PALLAS:
         import os
         if os.environ.get("FLOWSPEC_NO_PALLAS"):
@@ -159,7 +216,7 @@ def _use_pallas(kind: str) -> bool:
         elif os.environ.get("FLOWSPEC_PALLAS"):
             on = True
         else:
-            on = kind == "nf4"
+            on = kind in ("nf4", "int4")
         try:
             on = on and jax.default_backend() not in ("cpu",)
         except Exception:
@@ -185,6 +242,13 @@ def qmatmul(x: jax.Array, w) -> jax.Array:
         if _use_pallas("nf4") and x.ndim == 3:
             from flowspec_tpu.ops.quant_matmul import nf4_matmul
             return nf4_matmul(x, w.q, w.scale)
+        wd = dequantize(w).astype(x.dtype)
+        return jnp.einsum("...i,io->...o", x, wd,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+    if isinstance(w, Int4Tensor):
+        if _use_pallas("int4") and x.ndim == 3:
+            from flowspec_tpu.ops.quant_matmul import int4_matmul
+            return int4_matmul(x, w.q, w.scale)
         wd = dequantize(w).astype(x.dtype)
         return jnp.einsum("...i,io->...o", x, wd,
                           preferred_element_type=jnp.float32).astype(x.dtype)

@@ -141,34 +141,43 @@ def _nf4_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *, n_in):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-@jax.jit
-def nf4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
-    """x (B, T, In) @ NF4(q (In//2, Out) packed u8, scale (In//64, Out))
-    -> (B, T, Out)."""
+def _int4_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *, n_in):
+    # Linear 4-bit: value = nibble - 8, no codebook select tree — ~5 VPU
+    # ops/weight vs NF4's ~25, so the pass stays HBM-bound. Same split
+    # even/odd contraction as _nf4_kernel.
+    packed = q_ref[:].astype(jnp.int32)               # (In//2, BN)
+    hi = ((packed >> 4) - 8).astype(jnp.bfloat16)
+    lo = ((packed & 0xF) - 8).astype(jnp.bfloat16)
+    s = s_ref[:].astype(jnp.bfloat16)                 # (In // 64, BN)
+    blocks, bn_ = s.shape
+    half = n_in // 2
+    s_half = jnp.broadcast_to(
+        s[:, None, :], (blocks, NF4_BLOCK // 2, bn_)).reshape(half, bn_)
+    acc = jnp.dot(xe_ref[:], (hi * s_half).astype(xe_ref.dtype),
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:], (lo * s_half).astype(xo_ref.dtype),
+                   preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _packed4_matmul(x, q, scale, kernel, fallback):
+    """Shared pallas_call wrapper for the packed-4-bit kernels (nf4/int4)."""
     b, t, n_in = x.shape
     n_out = q.shape[-1]
     assert q.shape[-2] * 2 == n_in, (q.shape, n_in)
     x2, bt0 = _pad_rows(x.reshape(b * t, n_in))
     bt = x2.shape[0]
     x_bytes = bt * n_in * 2
-    # Per-output-column stack bytes surviving Mosaic's buffer reuse:
-    # q tile (In/2 u8, double-buffered) + i32 nibble extract + bf16
-    # hi/lo/vals/s_rows intermediates ~= 6 * In (measured: In=10240 bn=256
-    # allocated 16.04M — 5.65*In/col — against the 16M scoped limit).
     budget_bn = (15 * 1024 * 1024 - x_bytes) // (6 * n_in + 2 * bt)
     if budget_bn < 128:     # 128 = TPU lane minimum for a block dim
-        from flowspec_tpu.ops.quant import NF4Tensor, dequantize
-        wd = dequantize(NF4Tensor(q=q, scale=scale)).astype(x.dtype)
-        return jnp.einsum("bti,io->bto", x, wd,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
+        return fallback()
     bn = _tile(n_out, min(BN, budget_bn))
     assert n_in % NF4_BLOCK == 0, n_in
-    # deinterleave x into even/odd contraction lanes (see _nf4_kernel)
     x3 = x2.reshape(bt, n_in // 2, 2)
     xe, xo = x3[:, :, 0], x3[:, :, 1]
 
     out = pl.pallas_call(
-        functools.partial(_nf4_kernel, n_in=n_in),
+        functools.partial(kernel, n_in=n_in),
         grid=(n_out // bn,),
         in_specs=[
             pl.BlockSpec((bt, n_in // 2), lambda n: (0, 0),
@@ -189,3 +198,33 @@ def nf4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
             transcendentals=0),
     )(xe, xo, q, scale)
     return out[:bt0].reshape(b, t, n_out)
+
+
+@jax.jit
+def int4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
+    """x (B, T, In) @ Int4(q (In//2, Out) packed u8, scale (In//64, Out))
+    -> (B, T, Out)."""
+    def fallback():
+        from flowspec_tpu.ops.quant import Int4Tensor, dequantize
+        wd = dequantize(Int4Tensor(q=q, scale=scale)).astype(x.dtype)
+        return jnp.einsum("bti,io->bto", x, wd,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+    return _packed4_matmul(x, q, scale, _int4_kernel, fallback)
+
+
+@jax.jit
+def nf4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
+    """x (B, T, In) @ NF4(q (In//2, Out) packed u8, scale (In//64, Out))
+    -> (B, T, Out).
+
+    VMEM note: per-output-column stack bytes surviving Mosaic's buffer
+    reuse are ~6 * In (measured: In=10240 bn=256 allocated 16.04M —
+    5.65*In/col — against the 16M scoped limit); _packed4_matmul budgets
+    tiles accordingly and falls back to the XLA dequant path when even a
+    128-lane tile can't fit."""
+    def fallback():
+        from flowspec_tpu.ops.quant import NF4Tensor, dequantize
+        wd = dequantize(NF4Tensor(q=q, scale=scale)).astype(x.dtype)
+        return jnp.einsum("bti,io->bto", x, wd,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+    return _packed4_matmul(x, q, scale, _nf4_kernel, fallback)

@@ -318,29 +318,30 @@ class PipelineEngine:
     def _tp_put(self, name, w):
         """Megatron spec on top of the leading stage axis (parallel/tp.py
         uses the same layout without the layer axis). Quantized containers:
-        int8 scale follows Out; nf4 scale blocks follow In."""
-        from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor
+        int8 scale follows Out; nf4/int4 scale blocks follow In."""
+        from flowspec_tpu.ops.quant import Int4Tensor, Int8Tensor, NF4Tensor
         m = self.mesh
         put = lambda x, spec: jax.device_put(x, NamedSharding(m, spec))
         if (name in self._TP_COL or name in self._TP_ROW) and \
-                not isinstance(w, (Int8Tensor, NF4Tensor)) and w.ndim == 4:
+                not isinstance(w, (Int8Tensor, NF4Tensor, Int4Tensor)) \
+                and w.ndim == 4:
             # Mixtral stacked experts (L, E, In, Out): expert parallelism
             return put(w, P("stage", "tp", None, None))
         if name in self._TP_COL:
             if isinstance(w, Int8Tensor):
                 return Int8Tensor(q=put(w.q, P("stage", None, "tp")),
                                   scale=put(w.scale, P("stage", "tp")))
-            if isinstance(w, NF4Tensor):
-                return NF4Tensor(q=put(w.q, P("stage", None, "tp")),
-                                 scale=put(w.scale, P("stage", None, "tp")))
+            if isinstance(w, (NF4Tensor, Int4Tensor)):
+                return type(w)(q=put(w.q, P("stage", None, "tp")),
+                               scale=put(w.scale, P("stage", None, "tp")))
             return put(w, P("stage", None, "tp"))
         if name in self._TP_ROW:
             if isinstance(w, Int8Tensor):
                 return Int8Tensor(q=put(w.q, P("stage", "tp", None)),
                                   scale=put(w.scale, P("stage")))
-            if isinstance(w, NF4Tensor):
-                return NF4Tensor(q=put(w.q, P("stage", "tp", None)),
-                                 scale=put(w.scale, P("stage", "tp", None)))
+            if isinstance(w, (NF4Tensor, Int4Tensor)):
+                return type(w)(q=put(w.q, P("stage", "tp", None)),
+                               scale=put(w.scale, P("stage", "tp", None)))
             return put(w, P("stage", "tp", None))
         if name in self._TP_VEC:
             return put(w, P("stage", "tp"))

@@ -37,7 +37,7 @@ def shard_params_tp(params, mesh: Mesh):
     expert parallelism: the stacked expert weights shard the E axis over
     'tp' (the reference has no EP at all, SURVEY.md section 2.4)."""
     from flowspec_tpu.models.mixtral import MixtralParams
-    from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor
+    from flowspec_tpu.ops.quant import Int4Tensor, Int8Tensor, NF4Tensor
 
     if isinstance(params, MixtralParams):
         return _shard_mixtral_tp(params, mesh)
@@ -47,19 +47,20 @@ def shard_params_tp(params, mesh: Mesh):
 
     def put_w(w, kind):
         """kind 'col' shards Out, 'row' shards In — handles quantized
-        containers (int8 scale follows Out; nf4 scale blocks follow In)."""
+        containers (int8 scale follows Out; nf4/int4 scale blocks follow
+        In)."""
         if isinstance(w, Int8Tensor):
             if kind == "col":
                 return Int8Tensor(q=put(w.q, P(None, None, "tp")),
                                   scale=put(w.scale, P(None, "tp")))
             return Int8Tensor(q=put(w.q, P(None, "tp", None)),
                               scale=put(w.scale, P()))
-        if isinstance(w, NF4Tensor):
+        if isinstance(w, (NF4Tensor, Int4Tensor)):
             if kind == "col":
-                return NF4Tensor(q=put(w.q, P(None, None, "tp")),
-                                 scale=put(w.scale, P(None, None, "tp")))
-            return NF4Tensor(q=put(w.q, P(None, "tp", None)),
-                             scale=put(w.scale, P(None, "tp", None)))
+                return type(w)(q=put(w.q, P(None, None, "tp")),
+                               scale=put(w.scale, P(None, None, "tp")))
+            return type(w)(q=put(w.q, P(None, "tp", None)),
+                           scale=put(w.scale, P(None, "tp", None)))
         return put(w, P(None, None, "tp") if kind == "col"
                    else P(None, "tp", None))
 
@@ -112,7 +113,7 @@ def _shard_mixtral_tp(params, mesh: Mesh):
 
 
 def shard_draft_tp(draft: EagleParams, mesh: Mesh) -> EagleParams:
-    from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor
+    from flowspec_tpu.ops.quant import Int4Tensor, Int8Tensor, NF4Tensor
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -126,12 +127,12 @@ def shard_draft_tp(draft: EagleParams, mesh: Mesh) -> EagleParams:
                                   scale=put(w.scale, P("tp")))
             return Int8Tensor(q=put(w.q, P("tp", None)),
                               scale=put(w.scale, P()))
-        if isinstance(w, NF4Tensor):
+        if isinstance(w, (NF4Tensor, Int4Tensor)):
             if kind == "col":
-                return NF4Tensor(q=put(w.q, P(None, "tp")),
-                                 scale=put(w.scale, P(None, "tp")))
-            return NF4Tensor(q=put(w.q, P("tp", None)),
-                             scale=put(w.scale, P("tp", None)))
+                return type(w)(q=put(w.q, P(None, "tp")),
+                               scale=put(w.scale, P(None, "tp")))
+            return type(w)(q=put(w.q, P("tp", None)),
+                           scale=put(w.scale, P("tp", None)))
         return put(w, P(None, "tp") if kind == "col" else P("tp", None))
 
     return dataclasses.replace(

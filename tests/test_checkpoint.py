@@ -25,7 +25,7 @@ def _eq(a, b):
 def test_quantized_params_roundtrip(tmp_path):
     mc = ModelConfig.tiny()
     p = init_llama_params(jax.random.key(0), mc)
-    for kind in ("int8", "nf4"):
+    for kind in ("int8", "nf4", "int4"):
         q = quantize_llama_params(p, kind)
         d = tmp_path / kind
         save_params(q, str(d))

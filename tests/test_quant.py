@@ -16,8 +16,8 @@ from flowspec_tpu.models.llama import (
     init_llama_params, quantize_llama_params,
 )
 from flowspec_tpu.ops.quant import (
-    Int8Tensor, NF4Tensor, dequantize, qmatmul, quantize_int8, quantize_nf4,
-    NF4_CODE,
+    Int8Tensor, NF4Tensor, dequantize, qmatmul, quantize_int4, quantize_int8,
+    quantize_nf4, NF4_CODE,
 )
 from flowspec_tpu.runtime import SpecEngine
 
@@ -54,11 +54,30 @@ def test_nf4_roundtrip_is_nearest_code():
             np.testing.assert_allclose(deq[blk * 64 + r], nearest, rtol=1e-6)
 
 
+def test_int4_roundtrip_error():
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(128, 32)), jnp.float32)
+    qt = quantize_int4(w)
+    assert qt.q.dtype == jnp.uint8
+    assert qt.q.shape == (64, 32)            # packed 2 codes/byte along In
+    assert qt.scale.shape == (2, 32)
+    assert qt.shape == (128, 32)
+    deq = np.asarray(dequantize(qt))
+    # linear grid absmax/7 * {-7..7}: worst-case error is half a step
+    scale = np.asarray(qt.scale)             # (2, 32)
+    err = np.abs(deq - np.asarray(w)).reshape(2, 64, 32)
+    assert (err <= scale[:, None, :] / 2 + 1e-6).all()
+    # codes stay in the symmetric range (nibble 0 == -8 is never produced)
+    nib = np.asarray(qt.q)
+    codes = np.concatenate([nib >> 4, nib & 0xF])
+    assert codes.min() >= 1
+
+
 def test_qmatmul_xla_matches_dequant():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(1, 8, 128)), jnp.float32)
     w = jnp.asarray(rng.normal(size=(128, 64)), jnp.float32)
-    for qt in (quantize_int8(w), quantize_nf4(w)):
+    for qt in (quantize_int8(w), quantize_nf4(w), quantize_int4(w)):
         ref = x @ dequantize(qt)
         got = qmatmul(x, qt)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
@@ -75,9 +94,11 @@ def test_pallas_kernels_interpret_mode():
     w = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32)
     i8 = quantize_int8(w)
     n4 = quantize_nf4(w)
+    i4 = quantize_int4(w)
     with pltpu.force_tpu_interpret_mode():
         got_i8 = qm.int8_matmul(x, i8.q, i8.scale)
         got_n4 = qm.nf4_matmul(x, n4.q, n4.scale)
+        got_i4 = qm.int4_matmul(x, i4.q, i4.scale)
     np.testing.assert_allclose(np.asarray(got_i8),
                                np.asarray(x @ dequantize(i8)),
                                rtol=2e-4, atol=2e-4)
@@ -89,6 +110,16 @@ def test_pallas_kernels_interpret_mode():
     np.testing.assert_allclose(np.asarray(got_n4),
                                np.asarray(x @ dequantize(n4)),
                                rtol=5e-2, atol=5e-2)
+    # the int4 kernel also decodes in bf16 — compare vs a bf16-decode
+    # reference, and loosely (abs) vs f32
+    # (kernel multiplies code*scale in bf16 — rounding differs from
+    # dequant-then-round; sqrt(256)-term bf16 accumulation ~ 0.06 abs)
+    ref_i4 = x @ (dequantize(i4).astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got_i4), np.asarray(ref_i4),
+                               rtol=5e-2, atol=1e-1)
+    np.testing.assert_allclose(np.asarray(got_i4),
+                               np.asarray(x @ dequantize(i4)),
+                               rtol=5e-2, atol=1e-1)
 
 
 def test_quantized_spec_equals_quantized_ar():
@@ -106,7 +137,7 @@ def test_quantized_spec_equals_quantized_ar():
     draft = init_eagle_params(jax.random.key(100), mc, embed=params.embed,
                               dtype=jnp.float32)
     prompt = list(np.random.default_rng(0).integers(3, 30, 12))
-    for kind in ("int8", "nf4"):
+    for kind in ("int8", "nf4", "int4"):
         qparams = quantize_llama_params(params, kind)
         eng = SpecEngine(qparams, draft, cfg)
         ar, _ = eng.generate_ar(prompt, max_new_tokens=25, eos_token_id=-1)
