@@ -23,18 +23,6 @@ from flowspec_tpu.config import EngineConfig, ModelConfig, SamplingConfig, TreeC
 from flowspec_tpu.draft.beam import topk_generate
 
 
-def make_beam_head(params, draft, cfg: EngineConfig):
-    """The lm_head copy the draft beam scores proposals with (see
-    EngineConfig.beam_head_quant)."""
-    from flowspec_tpu.ops.quant import Int8Tensor, NF4Tensor, quantize_int8
-    mode = cfg.beam_head_quant
-    if mode == "auto":
-        mode = ("int8" if isinstance(draft.wq, (Int8Tensor, NF4Tensor))
-                else "none")
-    if mode == "int8":
-        return quantize_int8(params.lm_head)
-    assert mode == "none", mode
-    return params.lm_head
 from flowspec_tpu.draft.eagle import EagleParams, draft_context_forward
 from flowspec_tpu.models.bias import prefill_bias, tree_bias
 from flowspec_tpu.models.kv_cache import KVCache, init_kv_cache
@@ -73,6 +61,9 @@ class EngineState:
     pending_tokens: jax.Array   # (CTX,) int32 — draft pairs not yet consumed
     pending_hidden: jax.Array   # (1, CTX, H)
     n_pending: jax.Array        # () int32
+    root_hidden: jax.Array      # (H,) — draft output hidden for the root
+                                #   pair, used when n_pending == 0 (the
+                                #   prefill drain already consumed the pairs)
     key: jax.Array
 
 
@@ -99,11 +90,81 @@ class ServeCtx:
     active: jax.Array       # () bool — slot holds a live request
 
 
+def negotiate_round_formats(cfg: EngineConfig):
+    """AOT-negotiate XLA's preferred weight layouts for the decode round
+    from SHAPE AVALS ONLY — call before building any weight buffer, then
+    construct each leaf directly into its format (jit out_shardings=fmt, or
+    device_put(host_tensor, fmt) at load) and pass the formats to
+    SpecEngine(formats=...).
+
+    Why: at 7B bf16 XLA wants the stacked wq/wk/wv stored transposed
+    (major-to-minor (0, 2, 1)); fed default-layout weights it materializes
+    ~3GB of transposed copies inside the decode program and OOMs the 16GB
+    chip. Negotiating first means the transposed buffer is the ONLY copy
+    that ever exists. Returns (p_fmt, d_fmt) Format pytrees."""
+    import functools as ft
+    from jax.experimental.layout import Format, Layout
+    from flowspec_tpu.draft.eagle import init_eagle_params
+    from flowspec_tpu.models.llama import init_llama_params
+
+    mc, tc = cfg.model, cfg.tree
+    tc = dataclasses.replace(
+        tc, node_cap=min(tc.node_cap, tc.total_tokens + 1),
+        leaf_cap=min(tc.leaf_cap, tc.total_tokens + 1),
+        depth_cap=min(tc.depth_cap, tc.depth + 1))
+    p_aval = jax.eval_shape(ft.partial(init_llama_params, cfg=mc),
+                            jax.random.key(0))
+    d_aval = jax.eval_shape(lambda k: init_eagle_params(k, mc),
+                            jax.random.key(1))
+
+    dt = jnp.dtype(mc.dtype)
+    max_levels = tc.depth + tc.expand_depth
+
+    def kv_aval(layers, rows):
+        return KVCache(
+            k=jax.ShapeDtypeStruct(
+                (layers, 1, mc.num_key_value_heads, rows, mc.head_dim_), dt),
+            v=jax.ShapeDtypeStruct(
+                (layers, 1, mc.num_key_value_heads, rows, mc.head_dim_), dt),
+            length=jax.ShapeDtypeStruct((), jnp.int32))
+
+    s32 = jax.ShapeDtypeStruct((), jnp.int32)
+    st_aval = EngineState(
+        base_cache=kv_aval(mc.num_hidden_layers,
+                           cfg.max_seq_len + tc.node_cap),
+        draft_cache=kv_aval(1, cfg.max_seq_len + max_levels * tc.top_k),
+        commit_len=s32, root_token=s32,
+        pending_tokens=jax.ShapeDtypeStruct((tc.depth_cap + 1,), jnp.int32),
+        pending_hidden=jax.ShapeDtypeStruct(
+            (1, tc.depth_cap + 1, mc.hidden_size), dt),
+        n_pending=s32,
+        root_hidden=jax.ShapeDtypeStruct((mc.hidden_size,), dt),
+        key=jax.eval_shape(jax.random.key, 0),
+    )
+    fn = ft.partial(_spec_round, cfg=mc, tree_cfg=tc, sampling=cfg.sampling)
+    auto = (jax.tree_util.tree_map(lambda _: None, st_aval),
+            jax.tree_util.tree_map(lambda _: Format(Layout.AUTO), p_aval),
+            jax.tree_util.tree_map(lambda _: Format(Layout.AUTO), d_aval))
+    compiled = jax.jit(fn, in_shardings=auto,
+                       donate_argnums=(0,)).lower(
+        st_aval, p_aval, d_aval).compile()
+    _, p_fmt, d_fmt = compiled.input_formats[0]
+    return p_fmt, d_fmt
+
+
 class SpecEngine:
     """Owns params + jitted step functions for one (base, draft) model pair."""
 
     def __init__(self, params: LlamaParams, draft: EagleParams,
-                 cfg: EngineConfig):
+                 cfg: EngineConfig, formats=None):
+        """`formats`, if given, is (p_fmt, d_fmt) — jax.experimental.layout
+        Format pytrees matching (params, draft), normally obtained from
+        `negotiate_round_formats`. The step functions are then compiled with
+        their weight inputs PINNED to those layouts, so weights built
+        directly into the negotiated formats (XLA wants the 7B bf16
+        wq/wk/wv stacks stored transposed, major-to-minor (0, 2, 1)) flow
+        through prefill and decode without the ~3GB of call-site transposed
+        copies that OOMed the 16GB chip (ROADMAP r1 #2)."""
         self.params = params
         self.draft = draft
         tc = cfg.tree
@@ -133,24 +194,63 @@ class SpecEngine:
         self.draft_kv_len = cfg.max_seq_len + max_levels * tc.top_k
         self.base_kv_len = cfg.max_seq_len + tc.node_cap
 
+        # in_shardings pins weight-arg layouts when formats are supplied
+        # (None = unconstrained). Positions follow each function's args.
+        p_fmt, d_fmt = formats if formats is not None else (None, None)
+
+        def _shard(*slots):
+            """kwargs pinning 'p'/'d' arg slots to the supplied formats
+            (None slots stay unconstrained); empty without formats."""
+            if formats is None:
+                return {}
+            return {"in_shardings": tuple(
+                {"p": p_fmt, "d": d_fmt, None: None}[s] for s in slots)}
+
         # donate_argnums=0: callers never reuse the pre-call state, and
         # donation lets XLA update the KV caches in place instead of
         # copying them every invocation
         self._prefill = jax.jit(functools.partial(_prefill_chunk, cfg=mc),
-                                donate_argnums=(0,))
+                                donate_argnums=(0,),
+                                **_shard(None, "p", "d", None, None, None))
+        # Post-prefill drain + pending-buffer shrink: decode rounds queue at
+        # most depth_cap+1 pairs, so carrying the prefill_chunk-sized (64)
+        # buffers through every round makes the per-round drain forward ~8x
+        # wider than needed (~2.6ms of the 28ms round at 7B int8). Drain the
+        # final prompt chunk's pairs once here, stash the root's draft
+        # hidden, and hand the decode loop depth_cap+1-row buffers.
+        self._finish_prefill = jax.jit(functools.partial(
+            _finish_prefill, cfg=mc, ctx_small=tc.depth_cap + 1),
+            donate_argnums=(0,), **_shard(None, "d"))
         self._round = jax.jit(functools.partial(
             _spec_round, cfg=mc, tree_cfg=tc, sampling=cfg.sampling),
-            donate_argnums=(0,))
+            donate_argnums=(0,),
+            **_shard(None, "p", "d", None))
         self._ar_step = jax.jit(functools.partial(
-            _ar_step, cfg=mc, sampling=cfg.sampling), donate_argnums=(0,))
+            _ar_step, cfg=mc, sampling=cfg.sampling), donate_argnums=(0,),
+            **_shard(None, "p"))
         # the fused loops return only token buffers (state stays on device
-        # inside the while carry), so input donation has nothing to alias
-        self._spec_loop = jax.jit(functools.partial(
-            _spec_decode_loop, cfg=mc, tree_cfg=tc, sampling=cfg.sampling),
-            static_argnames=("max_out",))
-        self._ar_loop = jax.jit(functools.partial(
-            _ar_decode_loop, cfg=mc, sampling=cfg.sampling),
-            static_argnames=("max_out",))
+        # inside the while carry), so input donation has nothing to alias.
+        # max_out is static: one cached jit per token budget (in_shardings
+        # forbids kwargs, so static_argnames can't be used here).
+        self._spec_loops, self._ar_loops = {}, {}
+
+        def _spec_loop(*args, max_out):
+            if max_out not in self._spec_loops:
+                self._spec_loops[max_out] = jax.jit(functools.partial(
+                    _spec_decode_loop, cfg=mc, tree_cfg=tc,
+                    sampling=cfg.sampling, max_out=max_out),
+                    **_shard(None, "p", "d", None, None, None))
+            return self._spec_loops[max_out](*args)
+
+        def _ar_loop(*args, max_out):
+            if max_out not in self._ar_loops:
+                self._ar_loops[max_out] = jax.jit(functools.partial(
+                    _ar_decode_loop, cfg=mc, sampling=cfg.sampling,
+                    max_out=max_out), **_shard(None, "p", None))
+            return self._ar_loops[max_out](*args)
+
+        self._spec_loop = _spec_loop
+        self._ar_loop = _ar_loop
 
     # ---- state setup -----------------------------------------------------
     def init_state(self, seed: int = 0) -> EngineState:
@@ -168,6 +268,7 @@ class SpecEngine:
             pending_hidden=jnp.zeros(
                 (1, self.ctx_pad, mc.hidden_size), dt),
             n_pending=jnp.zeros((), jnp.int32),
+            root_hidden=jnp.zeros((mc.hidden_size,), dt),
             key=jax.random.key(seed),
         )
 
@@ -203,7 +304,7 @@ class SpecEngine:
         pt = state.pending_tokens.at[state.n_pending - 1].set(root)
         state = dataclasses.replace(state, key=key, root_token=root,
                                     pending_tokens=pt)
-        return state
+        return self._finish_prefill(state, self.draft)
 
     def _check_budget(self, prompt, max_new: int):
         """The KV allocation is max_seq_len + node_cap rows; tree chunks are
@@ -339,6 +440,26 @@ def _prefill_chunk(state: EngineState, params: LlamaParams,
     return new_state, last_logits
 
 
+def _finish_prefill(state: EngineState, draft: EagleParams, *,
+                    cfg: ModelConfig, ctx_small: int):
+    """Drain the final prompt chunk's (token, hidden) pairs — including the
+    patched root pair — and shrink the pending buffers to the decode-round
+    envelope (depth_cap+1 rows; a round commits at most depth_cap tokens).
+    The root's draft output hidden is stashed in `root_hidden` for the first
+    round, whose drain then sees n_pending == 0."""
+    out, dcache = draft_context_forward(
+        draft, state.draft_cache, state.pending_tokens, state.pending_hidden,
+        state.draft_cache.length, state.n_pending, cfg)
+    rh = out[0, jnp.clip(state.n_pending - 1, 0, out.shape[1] - 1)]
+    h = state.pending_hidden.shape[-1]
+    return dataclasses.replace(
+        state, draft_cache=dcache, root_hidden=rh,
+        pending_tokens=jnp.zeros((ctx_small,), jnp.int32),
+        pending_hidden=jnp.zeros((1, ctx_small, h),
+                                 state.pending_hidden.dtype),
+        n_pending=jnp.zeros((), jnp.int32))
+
+
 def _drain_pending(state: EngineState, draft: EagleParams, cfg: ModelConfig):
     """Advance the draft context KV over the queued (token, hidden) pairs."""
     _, dcache = draft_context_forward(
@@ -419,7 +540,11 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
     out, dcache = draft_context_forward(
         draft, state.draft_cache, state.pending_tokens, state.pending_hidden,
         state.draft_cache.length, state.n_pending, cfg)
-    root_hidden = out[0, jnp.clip(state.n_pending - 1, 0, out.shape[1] - 1)]
+    drained_rh = out[0, jnp.clip(state.n_pending - 1, 0, out.shape[1] - 1)]
+    # n_pending == 0 only on the first round after prefill (the prefill
+    # drain consumed the pairs and stashed the root's hidden)
+    root_hidden = jnp.where(state.n_pending > 0, drained_rh,
+                            state.root_hidden)
     head = params.lm_head if beam_head is None else beam_head
     tree, beam_state, dcache = topk_generate(
         draft, head, dcache, state.root_token, root_hidden,
@@ -507,6 +632,7 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
         pending_tokens=_pad_to(pair_tok, ctx),
         pending_hidden=_pad_rows(pair_hidden, ctx),
         n_pending=n_acc,
+        root_hidden=root_hidden,
         key=key,
     )
     if serve is None:
