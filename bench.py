@@ -11,7 +11,8 @@ environment), which makes draft acceptance worst-case (~1 token/round);
 real EAGLE weights only raise tokens/s from here.
 
 Env knobs: BENCH_MODEL=7b|1b|tiny (default 7b), BENCH_TOKENS (default 128),
-BENCH_MODE=spec|ar (default spec), BENCH_QUANT=none|int8|nf4|int4 (default int8
+BENCH_MODE=spec|ar (default spec), BENCH_QUANT=none|int8|nf4|int4|mixed
+(default int8
 for 7b — the reference's headline distributed config is int8 weight-only),
 BENCH_BATCH=N (default 1; N>1 measures aggregate tokens/s of N concurrent
 requests through the vmapped fused decode loop).
@@ -22,6 +23,64 @@ import os
 import time
 
 import numpy as np
+
+
+def build_into_formats(mc, cfg):
+    """bf16 (params, draft, formats) for the spec path: negotiate XLA's
+    preferred decode-round weight layouts from shape avals, then generate
+    every leaf directly INTO its format (at 7B bf16 XLA wants wq/wk/wv
+    stored transposed; fed default layouts it materializes ~3GB of
+    in-program transposed copies and OOMs — see tools/layout_probe.py)."""
+    import functools
+    import time as _t
+    import jax
+    import jax.numpy as jnp
+    from flowspec_tpu.draft.eagle import init_eagle_params
+    from flowspec_tpu.models.llama import init_llama_params
+    from flowspec_tpu.runtime.engine import negotiate_round_formats
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    p_fmt, d_fmt = negotiate_round_formats(cfg)
+    # minimal Formats: the tiling-populated ones from input_formats are
+    # silently ignored by out_shardings
+    sds = SingleDeviceSharding(jax.devices()[0])
+    minimal = lambda t: jax.tree_util.tree_map(
+        lambda f: Format(Layout(
+            major_to_minor=tuple(f.layout.major_to_minor)), sds), t)
+    p_fmt, d_fmt = minimal(p_fmt), minimal(d_fmt)
+
+    p_aval = jax.eval_shape(functools.partial(init_llama_params, cfg=mc),
+                            jax.random.key(0))
+    d_aval = jax.eval_shape(lambda k: init_eagle_params(k, mc),
+                            jax.random.key(1))
+    # per-process HLO salt: persistent-cache hits drop out_shardings layouts
+    salt = int(_t.time_ns()) % (2 ** 31 - 1)
+
+    def gen_into(aval, fmt, seed):
+        def g():
+            k = jax.random.fold_in(jax.random.key(seed), salt)
+            if jnp.issubdtype(aval.dtype, jnp.integer):
+                return jnp.zeros(aval.shape, aval.dtype)
+            return (jax.random.normal(k, aval.shape, jnp.float32) *
+                    (aval.shape[-2] if len(aval.shape) >= 2 else
+                     aval.shape[-1]) ** -0.5).astype(aval.dtype)
+        y = jax.jit(g, out_shardings=fmt)()
+        y.block_until_ready()
+        assert (tuple(y.format.layout.major_to_minor) ==
+                tuple(fmt.layout.major_to_minor)), aval.shape
+        return y
+
+    def build(aval_tree, fmt_tree, base_seed):
+        leaves, treedef = jax.tree_util.tree_flatten(aval_tree)
+        fmts = jax.tree_util.tree_leaves(fmt_tree)
+        return jax.tree_util.tree_unflatten(treedef, [
+            gen_into(a, f, base_seed + i)
+            for i, (a, f) in enumerate(zip(leaves, fmts))])
+
+    params = build(p_aval, p_fmt, 10)
+    draft = build(d_aval, d_fmt, 100)
+    return params, draft, (p_fmt, d_fmt)
 
 
 def build_params(mc, quant: str):
@@ -43,14 +102,15 @@ def build_params(mc, quant: str):
         nq, nkv = mc.num_attention_heads, mc.num_key_value_heads
         dt = jnp.dtype(mc.dtype)
 
-        def q_of(k, shape):
+        def q_of(k, shape, field_kind=None):
             # generate per-layer under lax.map: randint materializes a
             # uint32 bit buffer of the full shape, and a whole stacked
             # (L, In, Out) one is a multi-GB transient that lands on top of
             # the (async-queued) finished leaves and OOMs 13B; per-layer
             # the transient is ~50MB and the buffer is reused
             ks = jax.random.split(k, shape[0])
-            if quant == "int8":
+            kq = field_kind or quant
+            if kq == "int8":
                 q = jax.lax.map(
                     lambda kk: jax.random.randint(kk, shape[1:], -127, 128,
                                                   jnp.int8), ks)
@@ -62,7 +122,7 @@ def build_params(mc, quant: str):
                     kk, (shape[-2] // 2,) + shape[-1:], 0, 256, jnp.uint8),
                 ks)
             blocks = shape[:-2] + (shape[-2] // NF4_BLOCK,) + shape[-1:]
-            if quant == "int4":
+            if kq == "int4":
                 # int4 codes decode to (nibble-8) in [-8,7]; scale down by 7
                 # so weight magnitudes match the nf4 branch's [-1,1] codes
                 s = jnp.full(blocks, shape[-2] ** -0.5 / 7.0, jnp.float32)
@@ -71,13 +131,20 @@ def build_params(mc, quant: str):
             return NF4Tensor(q=q, scale=s)
 
         ks = jax.random.split(jax.random.key(7), 10)
+        # "mixed" = attention int4 + FFN int8 (models/llama.py
+        # quantize_llama_params): 13B fits 16GB with 2/3 of the weight
+        # read on the fast fused-int8 path
+        ak = "int4" if quant == "mixed" else None
+        fk = "int8" if quant == "mixed" else None
         layers = LlamaLayerParams(
-            wq=q_of(ks[0], (L, h, nq * d)), wk=q_of(ks[1], (L, h, nkv * d)),
-            wv=q_of(ks[2], (L, h, nkv * d)), wo=q_of(ks[3], (L, nq * d, h)),
+            wq=q_of(ks[0], (L, h, nq * d), ak),
+            wk=q_of(ks[1], (L, h, nkv * d), ak),
+            wv=q_of(ks[2], (L, h, nkv * d), ak),
+            wo=q_of(ks[3], (L, nq * d, h), ak),
             bq=jnp.zeros((L, nq * d), dt), bk=jnp.zeros((L, nkv * d), dt),
             bv=jnp.zeros((L, nkv * d), dt),
-            w_gate=q_of(ks[4], (L, h, i)), w_up=q_of(ks[5], (L, h, i)),
-            w_down=q_of(ks[6], (L, i, h)),
+            w_gate=q_of(ks[4], (L, h, i), fk), w_up=q_of(ks[5], (L, h, i), fk),
+            w_down=q_of(ks[6], (L, i, h), fk),
             input_ln=jnp.ones((L, h), dt), post_ln=jnp.ones((L, h), dt))
         params = LlamaParams(
             embed=jax.random.normal(ks[7], (v, h), dt) * 0.02,
@@ -89,7 +156,8 @@ def build_params(mc, quant: str):
     draft = init_eagle_params(jax.random.key(1), mc, embed=params.embed)
     if quant != "none":
         from flowspec_tpu.draft.eagle import quantize_eagle_params
-        draft = quantize_eagle_params(draft, quant)
+        draft = quantize_eagle_params(
+            draft, "int8" if quant == "mixed" else quant)
     # hard sync before decode starts: block_until_ready doesn't reliably
     # block through the tunneled backend; a scalar device->host transfer
     # does. Without it the generation transients above stay queued and can
@@ -145,11 +213,17 @@ def main():
     cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
                        max_new_tokens=n_tokens, max_seq_len=max_seq)
 
-    params, draft = build_params(mc, quant)
-    if batch > 1:
+    if quant == "none" and mode == "spec" and batch <= 1:
+        # bf16 spec needs XLA's negotiated (transposed) weight layouts to
+        # avoid the 3GB of in-program copies that OOM the 16GB chip
+        params, draft, formats = build_into_formats(mc, cfg)
+        eng = SpecEngine(params, draft, cfg, formats=formats)
+    elif batch > 1:
+        params, draft = build_params(mc, quant)
         from flowspec_tpu.runtime.batched import BatchedSpecEngine
         eng = BatchedSpecEngine(params, draft, cfg, batch_size=batch)
     else:
+        params, draft = build_params(mc, quant)
         eng = SpecEngine(params, draft, cfg)
 
     rng0 = np.random.default_rng(0)

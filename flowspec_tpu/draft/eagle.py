@@ -72,8 +72,9 @@ def quantize_eagle_params(p: EagleParams, kind: str) -> EagleParams:
     draft (stage_ea_model.py:113-164 loads it full-precision); quality-wise
     the draft only proposes — verification still uses base-model logits."""
     from flowspec_tpu.ops.quant import quantize_int4
+    # the draft is ~1/32 of the base model; "mixed" keeps it all-int8
     fn = {"int8": quantize_int8, "nf4": quantize_nf4,
-          "int4": quantize_int4}[kind]
+          "int4": quantize_int4, "mixed": quantize_int8}[kind]
     import dataclasses as _dc
     return _dc.replace(p, **{f: fn(getattr(p, f))
                              for f in EAGLE_QUANT_FIELDS})

@@ -273,11 +273,22 @@ def quantize_llama_params(params: LlamaParams, kind: str) -> LlamaParams:
     """Weight-only quantize the decoder matmuls (ref: bitsandbytes int8/nf4
     via BitsAndBytesConfig, config/run_config.py:69-75). Embeddings, lm_head,
     norms and biases stay in the working dtype, matching HF's bnb behavior.
-    Stacked (L, In, Out) leaves quantize per layer along the leading axis."""
+    Stacked (L, In, Out) leaves quantize per layer along the leading axis.
+
+    kind "mixed" = attention int4 + FFN int8: on a 16GB chip 13B cannot hold
+    full int8 (~13.3GB weights), and full int4 runs at the ~155GB/s VPU-bound
+    4-bit decode rate; demoting only the attention stacks (1/3 of bytes) to
+    int4 fits the budget (~10.6GB) while 2/3 of the weight read stays on
+    XLA's 537GB/s fused int8 path (tools/int4_probe.py measurements)."""
     from flowspec_tpu.ops.quant import quantize_int4
-    fn = {"int8": quantize_int8, "nf4": quantize_nf4,
-          "int4": quantize_int4}[kind]
+    if kind == "mixed":
+        kinds = {f: ("int4" if f in ("wq", "wk", "wv", "wo") else "int8")
+                 for f in QUANT_FIELDS}
+    else:
+        kinds = {f: kind for f in QUANT_FIELDS}
+    fns = {"int8": quantize_int8, "nf4": quantize_nf4,
+           "int4": quantize_int4}
     lp = params.layers
-    lp = dataclasses.replace(lp, **{f: fn(getattr(lp, f))
+    lp = dataclasses.replace(lp, **{f: fns[kinds[f]](getattr(lp, f))
                                     for f in QUANT_FIELDS})
     return dataclasses.replace(params, layers=lp)

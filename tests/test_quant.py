@@ -137,7 +137,7 @@ def test_quantized_spec_equals_quantized_ar():
     draft = init_eagle_params(jax.random.key(100), mc, embed=params.embed,
                               dtype=jnp.float32)
     prompt = list(np.random.default_rng(0).integers(3, 30, 12))
-    for kind in ("int8", "nf4", "int4"):
+    for kind in ("int8", "nf4", "int4", "mixed"):
         qparams = quantize_llama_params(params, kind)
         eng = SpecEngine(qparams, draft, cfg)
         ar, _ = eng.generate_ar(prompt, max_new_tokens=25, eos_token_id=-1)

@@ -102,7 +102,7 @@ def main():
     # lands (0,2,1), wk/wv cache-hit land default).
     def gen_into(aval, fmt, seed):
         def g():
-            k = jax.random.key(seed)
+            k = jax.random.fold_in(jax.random.key(seed), salt)
             if jnp.issubdtype(aval.dtype, jnp.integer):
                 return jnp.zeros(aval.shape, aval.dtype)
             return (jax.random.normal(k, aval.shape, jnp.float32) *
@@ -110,12 +110,18 @@ def main():
                      aval.shape[-1]) ** -0.5).astype(aval.dtype)
         y = jax.jit(g, out_shardings=fmt)()
         y.block_until_ready()
+        got = tuple(y.format.layout.major_to_minor)
+        want = tuple(fmt.layout.major_to_minor)
+        assert got == want, (got, want, aval.shape)
         return y
 
     t0 = time.time()
-    # the persistent compilation cache must be OFF while generating into
-    # formats: deserialized cache-hit executables lose out_shardings layouts
-    jax.config.update("jax_enable_compilation_cache", False)
+    # Persistent-cache hits silently DROP out_shardings layouts (observed:
+    # fresh compiles land (0,2,1), cache hits land default; flipping
+    # jax_enable_compilation_cache mid-process does not stop lookups). Bake
+    # a per-process salt into each leaf's HLO so no cross-run hit is
+    # possible, and verify every built layout below.
+    salt = int(time.time_ns()) % (2 ** 31 - 1)
 
     def build(aval_tree, fmt_tree, base_seed):
         leaves, treedef = jax.tree_util.tree_flatten(aval_tree)
