@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--random", choices=["tiny", "1b", "7b"],
                     help="use random weights of this size instead")
     ap.add_argument("--engine", default="single",
-                    choices=["single", "pipeline", "tp"])
+                    choices=["single", "pipeline", "tp", "galaxy"])
     ap.add_argument("--schedule", default="continuous")
     ap.add_argument("--template", default="vicuna")
     ap.add_argument("--prompt", default="Tell me a short story about a robot.")
@@ -75,9 +75,9 @@ def main():
         from flowspec_tpu.parallel import PipelineEngine
         eng = PipelineEngine(params, draft, cfg, schedule=args.schedule)
         gen = eng.generate_fused
-    elif args.engine == "tp":
+    elif args.engine in ("tp", "galaxy"):
         from flowspec_tpu.parallel.tp import TPEngine
-        eng = TPEngine(params, draft, cfg)
+        eng = TPEngine(params, draft, cfg, galaxy=args.engine == "galaxy")
         gen = eng.generate_fused
     else:
         eng = SpecEngine(params, draft, cfg)

@@ -154,11 +154,18 @@ class TPEngine(SpecEngine):
     Mirrors tp_generate (tp/tp_ea_model.py:155-391): the draft tree is built
     once (replicated compute), the whole tree is verified in a single
     TP-sharded forward, acceptance + KV compaction as usual.
+
+    `galaxy=True` selects the reference's flagship TP variant — sequence-
+    sharded activations with explicit ring-overlap collectives
+    (tp/tp_modeling_llama.py:611-962) — for the multi-row verify/prefill
+    forwards; see parallel/galaxy.py. Weight/KV placement is identical, so
+    the two modes produce the same tokens and differ only in collective
+    schedule.
     """
 
     def __init__(self, params: LlamaParams, draft: EagleParams,
                  cfg: EngineConfig, mesh: Mesh | None = None,
-                 tp: int | None = None):
+                 tp: int | None = None, galaxy: bool = False):
         if mesh is None:
             from flowspec_tpu.parallel.mesh import tp_mesh
             tp = tp or min(4, len(jax.devices()))
@@ -172,7 +179,13 @@ class TPEngine(SpecEngine):
                 "experts must divide tp (expert parallelism)"
         params = shard_params_tp(params, mesh)
         draft = shard_draft_tp(draft, mesh)
-        super().__init__(params, draft, cfg)
+        fwd = None
+        if galaxy:
+            from flowspec_tpu.parallel.galaxy import make_galaxy_forward
+            assert cfg.model.num_attention_heads % tp_size == 0, \
+                "q heads must divide tp (galaxy)"
+            fwd = make_galaxy_forward(mesh)
+        super().__init__(params, draft, cfg, forward_fn=fwd)
 
     def init_state(self, seed: int = 0):
         state = super().init_state(seed)

@@ -156,7 +156,7 @@ class SpecEngine:
     """Owns params + jitted step functions for one (base, draft) model pair."""
 
     def __init__(self, params: LlamaParams, draft: EagleParams,
-                 cfg: EngineConfig, formats=None):
+                 cfg: EngineConfig, formats=None, forward_fn=None):
         """`formats`, if given, is (p_fmt, d_fmt) — jax.experimental.layout
         Format pytrees matching (params, draft), normally obtained from
         `negotiate_round_formats`. The step functions are then compiled with
@@ -164,7 +164,11 @@ class SpecEngine:
         directly into the negotiated formats (XLA wants the 7B bf16
         wq/wk/wv stacks stored transposed, major-to-minor (0, 2, 1)) flow
         through prefill and decode without the ~3GB of call-site transposed
-        copies that OOMed the 16GB chip (ROADMAP r1 #2)."""
+        copies that OOMed the 16GB chip (ROADMAP r1 #2).
+
+        `forward_fn` swaps the base-model forward (model_forward signature);
+        used by TPEngine(galaxy=True) to route verify/prefill through the
+        sequence-sharded ring-collective path (parallel/galaxy.py)."""
         self.params = params
         self.draft = draft
         tc = cfg.tree
@@ -194,6 +198,8 @@ class SpecEngine:
         self.draft_kv_len = cfg.max_seq_len + max_levels * tc.top_k
         self.base_kv_len = cfg.max_seq_len + tc.node_cap
 
+        fwd = forward_fn if forward_fn is not None else model_forward
+
         # in_shardings pins weight-arg layouts when formats are supplied
         # (None = unconstrained). Positions follow each function's args.
         p_fmt, d_fmt = formats if formats is not None else (None, None)
@@ -209,7 +215,8 @@ class SpecEngine:
         # donate_argnums=0: callers never reuse the pre-call state, and
         # donation lets XLA update the KV caches in place instead of
         # copying them every invocation
-        self._prefill = jax.jit(functools.partial(_prefill_chunk, cfg=mc),
+        self._prefill = jax.jit(functools.partial(_prefill_chunk, cfg=mc,
+                                                  fwd=fwd),
                                 donate_argnums=(0,),
                                 **_shard(None, "p", "d", None, None, None))
         # Post-prefill drain + pending-buffer shrink: decode rounds queue at
@@ -222,11 +229,13 @@ class SpecEngine:
             _finish_prefill, cfg=mc, ctx_small=tc.depth_cap + 1),
             donate_argnums=(0,), **_shard(None, "d"))
         self._round = jax.jit(functools.partial(
-            _spec_round, cfg=mc, tree_cfg=tc, sampling=cfg.sampling),
+            _spec_round, cfg=mc, tree_cfg=tc, sampling=cfg.sampling,
+            fwd=fwd),
             donate_argnums=(0,),
             **_shard(None, "p", "d", None))
         self._ar_step = jax.jit(functools.partial(
-            _ar_step, cfg=mc, sampling=cfg.sampling), donate_argnums=(0,),
+            _ar_step, cfg=mc, sampling=cfg.sampling, fwd=fwd),
+            donate_argnums=(0,),
             **_shard(None, "p"))
         # the fused loops return only token buffers (state stays on device
         # inside the while carry), so input donation has nothing to alias.
@@ -238,7 +247,7 @@ class SpecEngine:
             if max_out not in self._spec_loops:
                 self._spec_loops[max_out] = jax.jit(functools.partial(
                     _spec_decode_loop, cfg=mc, tree_cfg=tc,
-                    sampling=cfg.sampling, max_out=max_out),
+                    sampling=cfg.sampling, max_out=max_out, fwd=fwd),
                     **_shard(None, "p", "d", None, None, None))
             return self._spec_loops[max_out](*args)
 
@@ -246,7 +255,7 @@ class SpecEngine:
             if max_out not in self._ar_loops:
                 self._ar_loops[max_out] = jax.jit(functools.partial(
                     _ar_decode_loop, cfg=mc, sampling=cfg.sampling,
-                    max_out=max_out), **_shard(None, "p", None))
+                    max_out=max_out, fwd=fwd), **_shard(None, "p", None))
             return self._ar_loops[max_out](*args)
 
         self._spec_loop = _spec_loop
@@ -413,15 +422,15 @@ class SpecEngine:
 
 def _prefill_chunk(state: EngineState, params: LlamaParams,
                    draft: EagleParams, tokens, next_tokens, n_valid, *,
-                   cfg: ModelConfig):
+                   cfg: ModelConfig, fwd=model_forward):
     c = tokens.shape[0]
     start = state.commit_len
     s_max = state.base_cache.max_len
     hidden = embed_tokens(params, tokens[None])
     bias = prefill_bias(start, c, s_max)
     positions = start + jnp.arange(c, dtype=jnp.int32)
-    out, cache = model_forward(params, state.base_cache, hidden, positions,
-                               bias, start, cfg)
+    out, cache = fwd(params, state.base_cache, hidden, positions,
+                     bias, start, cfg)
     cache = cache.with_length(start + n_valid)
     normed = final_hidden(params, out, cfg)
 
@@ -527,7 +536,7 @@ def _chain_tree(serve: ServeCtx, tree_cfg: TreeConfig):
 def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
                 beam_head=None, serve: ServeCtx | None = None, *,
                 cfg: ModelConfig, tree_cfg: TreeConfig,
-                sampling: SamplingConfig):
+                sampling: SamplingConfig, fwd=model_forward):
     """One draft->verify->accept round (ref eagle/ea_model.py:236-297).
 
     With `serve`, a slot whose prompt is not fully consumed runs the round
@@ -565,8 +574,8 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
     toks = jnp.where(tree.tokens >= 0, tree.tokens, 0)
     hidden = embed_tokens(params, toks[None])
     positions = commit + tree.depth
-    b_out, bcache = model_forward(params, state.base_cache, hidden, positions,
-                                  bias, commit, cfg)
+    b_out, bcache = fwd(params, state.base_cache, hidden, positions,
+                        bias, commit, cfg)
     normed = final_hidden(params, b_out, cfg)          # (1, N, H)
     node_logits = lm_head_logits(params, normed[0])    # (N, V) f32
 
@@ -653,7 +662,7 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
 def _spec_decode_loop(state: EngineState, params: LlamaParams,
                       draft: EagleParams, beam_head, eos_id, budget, *,
                       max_out: int, cfg: ModelConfig, tree_cfg: TreeConfig,
-                      sampling: SamplingConfig):
+                      sampling: SamplingConfig, fwd=model_forward):
     """On-device multi-round loop: while tokens remain, run _spec_round and
     append its accepted tokens to a fixed buffer."""
     d_cap = tree_cfg.depth_cap
@@ -666,7 +675,7 @@ def _spec_decode_loop(state: EngineState, params: LlamaParams,
     def body(carry):
         st, out, n_out, done, rounds = carry
         st2, res = _spec_round(st, params, draft, beam_head, cfg=cfg,
-                               tree_cfg=tree_cfg, sampling=sampling)
+                               tree_cfg=tree_cfg, sampling=sampling, fwd=fwd)
         # `active` gates all updates: under vmap the while runs until every
         # lane finishes, so finished lanes must be no-ops.
         active = ~done & (n_out < budget)
@@ -691,7 +700,7 @@ def _spec_decode_loop(state: EngineState, params: LlamaParams,
 
 def _ar_decode_loop(state: EngineState, params: LlamaParams, eos_id, *,
                     max_out: int, cfg: ModelConfig,
-                    sampling: SamplingConfig):
+                    sampling: SamplingConfig, fwd=model_forward):
     def cond(carry):
         _, _, n_out, done = carry
         return ~done & (n_out < max_out)
@@ -700,7 +709,7 @@ def _ar_decode_loop(state: EngineState, params: LlamaParams, eos_id, *,
         st, out, n_out, done = carry
         tok = st.root_token
         out2 = out.at[n_out].set(tok)
-        st2, nxt = _ar_step(st, params, cfg=cfg, sampling=sampling)
+        st2, nxt = _ar_step(st, params, cfg=cfg, sampling=sampling, fwd=fwd)
         return st2, out2, n_out + 1, done | ((tok == eos_id) & (eos_id >= 0))
 
     init = (state, jnp.zeros((max_out,), jnp.int32),
@@ -710,14 +719,14 @@ def _ar_decode_loop(state: EngineState, params: LlamaParams, eos_id, *,
 
 
 def _ar_step(state: EngineState, params: LlamaParams, *, cfg: ModelConfig,
-             sampling: SamplingConfig):
+             sampling: SamplingConfig, fwd=model_forward):
     """Decode one token autoregressively (baseline)."""
     s_max = state.base_cache.max_len
     commit = state.commit_len
     hidden = embed_tokens(params, state.root_token[None][None])
     bias = prefill_bias(commit, 1, s_max)
-    out, cache = model_forward(params, state.base_cache, hidden,
-                               commit[None], bias, commit, cfg)
+    out, cache = fwd(params, state.base_cache, hidden,
+                     commit[None], bias, commit, cfg)
     cache = cache.with_length(commit + 1)
     logits = lm_head_logits(params, final_hidden(params, out, cfg))[0, 0]
     key, sub = jax.random.split(state.key)

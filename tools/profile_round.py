@@ -135,6 +135,43 @@ def main():
         return (rh + dep.astype(dt_model), dc2)
     timed("beam", beam_fn, (root_h, state1.draft_cache))
 
+    # ---- beam sub-components --------------------------------------------
+    from flowspec_tpu.draft.beam import _init_beam, _beam_step, head_logits
+    from flowspec_tpu.runtime.engine import make_beam_head
+    bh = make_beam_head(params, draft, eng.cfg)
+    max_lv = tcE.depth + tcE.expand_depth
+    bs0 = _init_beam(draft, bh, root_h, state1.draft_cache.length,
+                     state1.draft_cache.length, tcE, max_lv)
+
+    def beam_level_fn(c, pd):
+        st, ck, cv = c
+        st2, ck, cv = _beam_step(pd[1], bh, ck, cv, st, mcE, tcE.top_k,
+                                 max_lv)
+        # reset level so shapes/write offsets stay fixed across iterations
+        import dataclasses as _dc
+        st2 = _dc.replace(st2, level=st.level)
+        return (st2, ck, cv)
+    timed("beam_level", beam_level_fn,
+          (bs0, state1.draft_cache.k[0], state1.draft_cache.v[0]))
+
+    def beam_headtopk_fn(c, pd):
+        hid, acc = c
+        logits = head_logits(hid, bh)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        sc, tok = jax.lax.approx_max_k(logp, tcE.top_k, recall_target=1.0)
+        return (hid + (jnp.sum(sc) * 1e-6).astype(hid.dtype), acc)
+    timed("beam_head+topk", beam_headtopk_fn,
+          (jnp.zeros((tcE.top_k, H), dt_model), jnp.zeros((), dt_model)))
+
+    # ---- head+post sub-components ---------------------------------------
+    def head_mm_fn(c, pd):
+        hid, acc = c
+        normed = final_hidden(pd[0], hid, mcE)
+        logits = lm_head_logits(pd[0], normed[0])
+        return (hid + (jnp.max(logits) * 1e-9).astype(hid.dtype), acc)
+    timed("head_mm", head_mm_fn,
+          (jnp.zeros((1, n_cap, H), dt_model), jnp.zeros((), dt_model)))
+
     # ---- verify: base forward over n_cap tree rows ----------------------
     parents = jnp.concatenate([jnp.asarray([-1], jnp.int32),
                                jnp.arange(n_cap - 1, dtype=jnp.int32)])
