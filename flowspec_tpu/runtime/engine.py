@@ -195,8 +195,13 @@ class SpecEngine:
         # pairs for prompts longer than depth_cap+1 (advisor finding r1-high).
         self.ctx_pad = max(tc.depth_cap + 1, cfg.prefill_chunk)
         max_levels = tc.depth + tc.expand_depth
-        self.draft_kv_len = cfg.max_seq_len + max_levels * tc.top_k
-        self.base_kv_len = cfg.max_seq_len + tc.node_cap
+        # KV buffers round up to 256 rows: the fused tree-attention kernel
+        # streams the cache in 256/512-row blocks (ops/tree_attention.py) and
+        # its gate requires s_max % 256 == 0; the tail rows are masked by the
+        # bias either way, and the cost is <=255 extra rows per layer.
+        rnd = lambda n: -(-n // 256) * 256
+        self.draft_kv_len = rnd(cfg.max_seq_len + max_levels * tc.top_k)
+        self.base_kv_len = rnd(cfg.max_seq_len + tc.node_cap)
 
         fwd = forward_fn if forward_fn is not None else model_forward
 
