@@ -10,7 +10,9 @@ model — on one TPU chip. Weights are random (no checkpoints in this
 environment), which makes draft acceptance worst-case (~1 token/round);
 real EAGLE weights only raise tokens/s from here.
 
-Env knobs: BENCH_MODEL=7b|1b|tiny (default 7b), BENCH_TOKENS (default 128),
+Env knobs: BENCH_MODEL=7b|1b|tiny (default 7b), BENCH_TOKENS (default 256 —
+long enough that the ~70ms-per-dispatch tunnel RTT of prefill/setup is <2%
+of the measurement; the reference evaluates at max length 128/256 too),
 BENCH_MODE=spec|ar (default spec), BENCH_QUANT=none|int8|nf4|int4|mixed
 (default int8
 for 7b — the reference's headline distributed config is int8 weight-only),
@@ -168,7 +170,7 @@ def build_params(mc, quant: str):
 
 def main():
     model_kind = os.environ.get("BENCH_MODEL", "7b")
-    n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "256"))
     mode = os.environ.get("BENCH_MODE", "spec")
     quant = os.environ.get("BENCH_QUANT",
                            "int8" if model_kind in ("7b", "13b") else "none")
@@ -190,19 +192,21 @@ def main():
 
     if model_kind == "7b":
         mc = ModelConfig.llama_7b()
-        max_seq = 1152
     elif model_kind == "13b":
-        # 13GB of int8 weights: bound the context so KV + transients fit 16GB
         mc = ModelConfig.llama_13b()
-        max_seq = 512
     elif model_kind == "1b":
         mc = ModelConfig(hidden_size=2048, intermediate_size=5504,
                          num_hidden_layers=16, num_attention_heads=16,
                          num_key_value_heads=16)
-        max_seq = 1152
     else:
         mc = ModelConfig.tiny()
-        max_seq = 512
+    # Right-size the KV allocation to the request budget (prompt 64 +
+    # BENCH_TOKENS + depth_cap margin): attention is static-shape over the
+    # whole allocation, so every surplus row is pure HBM read on BOTH the
+    # verify pass and the AR step (at 7B, 1152 vs 384 rows is ~0.7ms/pass).
+    # This is what any serving engine does — allocate for the admitted
+    # request, not the theoretical context cap. BENCH_SEQ overrides.
+    max_seq = int(os.environ.get("BENCH_SEQ", 64 + n_tokens + 24))
 
     if batch > 1:
         # B KV caches coexist; bound the context so they fit beside weights

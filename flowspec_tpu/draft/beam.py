@@ -92,12 +92,14 @@ def _beam_step(p: EagleParams, head: jax.Array, cache_k, cache_v,
 
     # --- candidates: per-row top-k next tokens with cumulative scores
     logits = head_logits(out, head)                                   # (K, V)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    # vocab-wide top-k via the TPU-optimized PartialReduce (exact at
-    # recall_target=1.0, much cheaper than a full sort over V)
-    row_logp, row_tok = jax.lax.approx_max_k(logp, k_beam,
-                                             recall_target=1.0)   # (K, K)
-    cu = row_logp + state.scores[:, None]                         # (K, K)
+    # top-k on raw logits + per-row logsumexp correction == top-k of
+    # log_softmax (monotonic per row), without materializing a second
+    # (K, V) f32 tensor. approx_max_k is the TPU-optimized PartialReduce
+    # (exact at recall_target=1.0, much cheaper than a full sort over V).
+    row_val, row_tok = jax.lax.approx_max_k(logits, k_beam,
+                                            recall_target=1.0)    # (K, K)
+    lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)        # (K, 1)
+    cu = (row_val - lse) + state.scores[:, None]                  # (K, K)
 
     flat_base = k_beam + l * k_beam * k_beam
     cand_tok = row_tok.reshape(-1).astype(jnp.int32)
@@ -136,8 +138,8 @@ def _init_beam(p: EagleParams, head: jax.Array, root_hidden: jax.Array,
     k_beam = tree_cfg.top_k
     m = k_beam + max_levels * k_beam * k_beam
     logits = head_logits(root_hidden, head)
-    logp = jax.nn.log_softmax(logits)
-    sc, tok = jax.lax.approx_max_k(logp, k_beam, recall_target=1.0)
+    val, tok = jax.lax.approx_max_k(logits, k_beam, recall_target=1.0)
+    sc = val - jax.nn.logsumexp(logits)
 
     cand_tokens = jnp.full((m,), -1, jnp.int32).at[:k_beam].set(
         tok.astype(jnp.int32))

@@ -91,8 +91,76 @@ def _use_flash() -> bool:
     return _FLASH["on"]
 
 
-def attention(q, k_all, v_all, bias, n_rep: int):
-    """q (B, nq, T, D); k_all/v_all (B, nkv, S, D); bias (T, S) additive."""
+DYN_ATTN_BLOCK = 256
+DYN_ATTN_MIN_ALLOC = 1024
+
+
+def _use_dyn_attn(s_alloc: int) -> bool:
+    """Length-aware blocked attention: read the KV cache only up to the live
+    context length instead of the whole static allocation. The dense path's
+    QK^T spans every allocated row — at a 2560-token allocation that is
+    ~1.9GB of KV read per 7B verify pass even when the context is 100
+    tokens. Gated statically on allocation size (the decision must be
+    compile-time): small allocations keep the dense single-einsum path,
+    which XLA schedules better. FLOWSPEC_DYN_ATTN=1/0 forces on/off."""
+    import os
+    env = os.environ.get("FLOWSPEC_DYN_ATTN")
+    if env is not None:
+        return env not in ("0", "")
+    return s_alloc >= DYN_ATTN_MIN_ALLOC
+
+
+def _attention_blocked(q, k_all, v_all, bias, n_rep: int, n_valid):
+    """Online-softmax attention over ceil(n_valid / 256) KV blocks via a
+    dynamic-trip-count fori_loop; rows past n_valid are never read. Exact
+    same math as the dense path (flash-style rescaling is exact)."""
+    b, nq, t, d = q.shape
+    nkv = k_all.shape[1]
+    blk = DYN_ATTN_BLOCK
+    scale = d ** -0.5
+    n_blocks = (n_valid.astype(jnp.int32) + (blk - 1)) // blk
+
+    qf = q.astype(jnp.float32)
+    m0 = jnp.full((b, nq, t), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, nq, t), jnp.float32)
+    a0 = jnp.zeros((b, nq, t, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        s0 = i * blk
+        kb = jax.lax.dynamic_slice(k_all, (0, 0, s0, 0), (b, nkv, blk, d))
+        vb = jax.lax.dynamic_slice(v_all, (0, 0, s0, 0), (b, nkv, blk, d))
+        bb = jax.lax.dynamic_slice(bias, (jnp.zeros((), jnp.int32), s0),
+                                   (t, blk)).astype(jnp.float32)
+        if n_rep > 1:
+            kb = jnp.repeat(kb, n_rep, axis=1)
+            vb = jnp.repeat(vb, n_rep, axis=1)
+        s = jnp.einsum("bhtd,bhsd->bhts", qf, kb.astype(jnp.float32)) * scale
+        s = s + bb[None, None]
+        m2 = jnp.maximum(m, jnp.max(s, axis=-1))
+        # masked columns carry -1e9 (finite); only the -inf init needs a
+        # guard, on the first block's correction factor
+        p = jnp.exp(s - m2[..., None])
+        corr = jnp.where(jnp.isfinite(m), jnp.exp(m - m2), 0.0)
+        l2 = l * corr + jnp.sum(p, axis=-1)
+        acc2 = acc * corr[..., None] + jnp.einsum(
+            "bhts,bhsd->bhtd", p, vb.astype(jnp.float32))
+        return m2, l2, acc2
+
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, a0))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.astype(q.dtype)
+
+
+def attention(q, k_all, v_all, bias, n_rep: int, n_valid=None):
+    """q (B, nq, T, D); k_all/v_all (B, nkv, S, D); bias (T, S) additive.
+    `n_valid` (traced scalar), when given, is the number of live KV rows —
+    rows at or past it carry -inf bias. Large allocations then take the
+    length-aware blocked path (see _use_dyn_attn)."""
+    s_alloc = k_all.shape[2]
+    if (n_valid is not None and s_alloc % DYN_ATTN_BLOCK == 0
+            and _use_dyn_attn(s_alloc)):
+        return _attention_blocked(q, k_all, v_all, bias, n_rep, n_valid)
     if (_use_flash() and q.shape[0] == 1 and q.shape[2] > 1
             and k_all.shape[2] % 256 == 0):
         from flowspec_tpu.ops.tree_attention import tree_attention
@@ -160,7 +228,8 @@ def attention_block(x, wq, wk, wv, wo, k_cache, v_cache, positions, bias,
         v_all = jax.lax.dynamic_slice(
             v_cache, (layer, zero, zero, zero, zero), lshape)[0]
 
-    attn = attention(q, k_all, v_all, bias, nq // nkv)
+    attn = attention(q, k_all, v_all, bias, nq // nkv,
+                     n_valid=write_start + t)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nq * d)
     return qmatmul(attn, wo), k_cache, v_cache
 

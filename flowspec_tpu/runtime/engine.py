@@ -252,7 +252,8 @@ class SpecEngine:
             if max_out not in self._spec_loops:
                 self._spec_loops[max_out] = jax.jit(functools.partial(
                     _spec_decode_loop, cfg=mc, tree_cfg=tc,
-                    sampling=cfg.sampling, max_out=max_out, fwd=fwd),
+                    sampling=cfg.sampling, max_out=max_out, fwd=fwd,
+                    gate_lanes=False),
                     **_shard(None, "p", "d", None, None, None))
             return self._spec_loops[max_out](*args)
 
@@ -667,9 +668,18 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
 def _spec_decode_loop(state: EngineState, params: LlamaParams,
                       draft: EagleParams, beam_head, eos_id, budget, *,
                       max_out: int, cfg: ModelConfig, tree_cfg: TreeConfig,
-                      sampling: SamplingConfig, fwd=model_forward):
+                      sampling: SamplingConfig, fwd=model_forward,
+                      gate_lanes: bool = True):
     """On-device multi-round loop: while tokens remain, run _spec_round and
-    append its accepted tokens to a fixed buffer."""
+    append its accepted tokens to a fixed buffer.
+
+    `gate_lanes` (static) selects the vmap-safe body: under vmap the while
+    runs until EVERY lane finishes, so finished lanes must select the old
+    state back in. Single-lane callers pass False — the loop cond already
+    guarantees `active` at body entry, and skipping the select lets XLA keep
+    the KV-cache updates in place instead of holding old+new buffers live
+    across a ~670MB-per-cache dynamic select every round (~2ms/round at 7B).
+    """
     d_cap = tree_cfg.depth_cap
     buf_cap = max_out + d_cap + 1   # one round may overshoot by <= d_cap
 
@@ -681,19 +691,22 @@ def _spec_decode_loop(state: EngineState, params: LlamaParams,
         st, out, n_out, done, rounds = carry
         st2, res = _spec_round(st, params, draft, beam_head, cfg=cfg,
                                tree_cfg=tree_cfg, sampling=sampling, fwd=fwd)
-        # `active` gates all updates: under vmap the while runs until every
-        # lane finishes, so finished lanes must be no-ops.
-        active = ~done & (n_out < budget)
+        # `active` gates all updates (vmap: finished lanes must be no-ops).
+        active = (~done & (n_out < budget)) if gate_lanes \
+            else jnp.asarray(True)
         d_idx = jnp.arange(d_cap, dtype=jnp.int32)
         pv = active & (d_idx < res.n_accepted)
         wpos = jnp.where(pv, n_out + d_idx, buf_cap)
         out2 = out.at[wpos].set(jnp.where(pv, res.accepted, 0), mode="drop")
         n2 = n_out + jnp.where(active, res.n_accepted, 0)
         eos_hit = jnp.any(pv & (res.accepted == eos_id) & (eos_id >= 0))
-        st3 = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(active, a, b) if a.ndim == 0
-            else jnp.where(
-                jnp.reshape(active, (1,) * a.ndim), a, b), st2, st)
+        if gate_lanes:
+            st3 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(active, a, b) if a.ndim == 0
+                else jnp.where(
+                    jnp.reshape(active, (1,) * a.ndim), a, b), st2, st)
+        else:
+            st3 = st2
         return st3, out2, n2, done | eos_hit, rounds + jnp.where(active, 1, 0)
 
     init = (state, jnp.zeros((buf_cap,), jnp.int32),

@@ -210,3 +210,54 @@ def test_tree_bias_masks_past_tree_region():
     np.testing.assert_array_equal(bias[:, tree_base:tree_base + n_cap], ref)
     # everything past the tree region is masked for every row
     assert (bias[:, tree_base + n_cap:] <= NEG_INF).all()
+
+
+def test_blocked_attention_matches_dense():
+    """The length-aware blocked path (_attention_blocked: online-softmax over
+    256-row KV blocks, dynamic trip count) must match the dense single-einsum
+    path exactly — including when n_valid is far below the allocation, lands
+    mid-block, and under a tree-style (non-causal) bias."""
+    from flowspec_tpu.models.llama import _attention_blocked, attention
+
+    rng = np.random.default_rng(11)
+    b, nq, nkv, t, d = 1, 4, 2, 7, 16
+    s_alloc = 1024
+    q = jnp.asarray(rng.standard_normal((b, nq, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, nkv, s_alloc, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, nkv, s_alloc, d)), jnp.float32)
+
+    for n_valid in (1, 5, 256, 300, 517):
+        # random tree-ish mask over the valid region; every query row keeps
+        # at least one live column; everything past n_valid is masked
+        mask = rng.random((t, s_alloc)) < 0.5
+        mask[:, 0] = True
+        mask[:, n_valid:] = False
+        bias = jnp.where(jnp.asarray(mask), 0.0, -1e9).astype(jnp.float32)
+        dense = attention(q, k, v, bias, nq // nkv)   # no n_valid -> dense
+        blocked = _attention_blocked(q, k, v, bias, nq // nkv,
+                                     jnp.asarray(n_valid, jnp.int32))
+        np.testing.assert_allclose(np.asarray(blocked), np.asarray(dense),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_dyn_attn_gate_env(monkeypatch):
+    """attention() routes through the blocked path only for large enough
+    allocations (or when forced), and the result still matches dense."""
+    from flowspec_tpu.models import llama as L
+
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((1, 2, 3, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 512, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 512, 8)), jnp.float32)
+    i = np.arange(3)[:, None]
+    j = np.arange(512)[None, :]
+    bias = jnp.where(jnp.asarray(j <= i + 100), 0.0, -1e9).astype(jnp.float32)
+
+    dense = L.attention(q, k, v, bias, 1)
+    monkeypatch.setenv("FLOWSPEC_DYN_ATTN", "1")
+    forced = L.attention(q, k, v, bias, 1, n_valid=jnp.asarray(103))
+    np.testing.assert_allclose(np.asarray(forced), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+    monkeypatch.delenv("FLOWSPEC_DYN_ATTN")
+    assert not L._use_dyn_attn(512)
+    assert L._use_dyn_attn(1024)

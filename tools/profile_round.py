@@ -204,6 +204,28 @@ def main():
         return (hidden + (res.accept_len.astype(dt_model) * 1e-6), acc)
     timed("head+post", head_fn, (hidden0, jnp.zeros((), dt_model)))
 
+    # ---- commit: KV compaction + pair packing (round steps 4-6) ----------
+    d_cap = tcE.depth_cap
+    def commit_fn(c, pd):
+        cache, normed, acc = c
+        best_leaf = (acc.astype(jnp.int32) % 2)   # data-dep, XLA can't hoist
+        accept_len = jnp.ones((), jnp.int32)
+        path = tree.retrieve[best_leaf]
+        n_acc = accept_len + 1
+        d_idx = jnp.arange(d_cap, dtype=jnp.int32)
+        path_valid = d_idx < n_acc
+        safe_path = jnp.clip(path, 0, n_cap - 1)
+        src = jnp.where(path_valid, commit + safe_path, 0)
+        cache2 = cache.compact(src, n_acc, commit)
+        pair_hidden = normed[:, safe_path]
+        pair_hidden = jnp.where(path_valid[None, :, None], pair_hidden, 0.0)
+        return (cache2.with_length(cache.length),
+                normed + jnp.sum(pair_hidden) * 1e-9,
+                acc + 1)
+    timed("commit", commit_fn,
+          (state1.base_cache, jnp.zeros((1, n_cap, H), dt_model),
+           jnp.zeros((), jnp.float32)))
+
     # ---- full round + ar step -------------------------------------------
     def round_fn(st, pd):
         st2, _ = E._spec_round(st, pd[0], pd[1], cfg=mcE, tree_cfg=tcE,
@@ -218,7 +240,7 @@ def main():
 
     # ---- report ----------------------------------------------------------
     total_parts = sum(t for n, t in rows if n in
-                      ("drain", "beam", "verify", "head+post"))
+                      ("drain", "beam", "verify", "head+post", "commit"))
     name = f"PROFILE_{model_kind}_{quant}.md"
     with open(name, "w") as f:
         f.write(f"# Round breakdown — {model_kind} {quant} "
