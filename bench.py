@@ -175,6 +175,10 @@ def main():
     quant = os.environ.get("BENCH_QUANT",
                            "int8" if model_kind in ("7b", "13b") else "none")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    # BENCH_TEMP > 0 exercises the stochastic acceptance path (the
+    # reference reports T=0 and T=1 rows; its T=1 numbers are ~4% below
+    # T=0, README.md:136-144)
+    temp = float(os.environ.get("BENCH_TEMP", "0"))
 
     import jax
     # persistent compilation cache: the fused decode loop takes minutes to
@@ -214,7 +218,8 @@ def main():
     # reference tree defaults: 80 tokens / top-10 / depth-6; node_cap sized
     # to the single-chip engine's needs (fresh tree per round, no merge)
     tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16)
-    cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+    cfg = EngineConfig(model=mc, tree=tc,
+                       sampling=SamplingConfig(temperature=temp),
                        max_new_tokens=n_tokens, max_seq_len=max_seq)
 
     if quant == "none" and mode == "spec" and batch <= 1:
@@ -249,13 +254,18 @@ def main():
     toks = stats["new_tokens"]
     tps = toks / dt
 
-    # FlowSpec greedy means (BASELINE.md; reference README.md:136-144):
-    # 7B-class 8.70 tok/s, 13B-class 2.21 tok/s on the 5-Jetson cluster
-    baseline = 2.21 if model_kind == "13b" else 8.70
+    # FlowSpec means (BASELINE.md; reference README.md:136-144): 7B-class
+    # 8.70 (T=0) / 8.38 (T=1) tok/s, 13B-class 2.21 / 2.14, on the
+    # 5-Jetson cluster
+    if model_kind == "13b":
+        baseline = 2.21 if temp == 0 else 2.14
+    else:
+        baseline = 8.70 if temp == 0 else 8.38
     qtag = "" if quant == "none" else f"_{quant}"
     btag = "" if batch <= 1 else f"_b{batch}"
+    stag = "greedy" if temp == 0 else f"t{temp:g}"
     print(json.dumps({
-        "metric": f"output_tokens_per_s_{model_kind}{qtag}_{mode}{btag}_greedy",
+        "metric": f"output_tokens_per_s_{model_kind}{qtag}_{mode}{btag}_{stag}",
         "value": round(tps, 3),
         "unit": "tokens/s",
         "vs_baseline": round(tps / baseline, 3),

@@ -146,7 +146,10 @@ def main(argv=None):
                         expand_depth=expand_depth, chunk_len=chunk_len,
                         depth_cap=max(24, depth + expand_depth + 2))
         eng = build_engine(args, mc, tc, params, draft)
-        gen = lambda toks: eng.generate(
+        # prefer the fused on-device decode loop: the host round loop pays
+        # one dispatch RTT per round (~70ms through the tunneled backend)
+        gen_fn = getattr(eng, "generate_fused", eng.generate)
+        gen = lambda toks: gen_fn(
             toks, max_new_tokens=args.max_new_tokens, eos_token_id=-1)
         for path in args.data:
             name = os.path.basename(os.path.dirname(path)) or path

@@ -99,15 +99,23 @@ def _use_dyn_attn(s_alloc: int) -> bool:
     """Length-aware blocked attention: read the KV cache only up to the live
     context length instead of the whole static allocation. The dense path's
     QK^T spans every allocated row — at a 2560-token allocation that is
-    ~1.9GB of KV read per 7B verify pass even when the context is 100
-    tokens. Gated statically on allocation size (the decision must be
-    compile-time): small allocations keep the dense single-einsum path,
-    which XLA schedules better. FLOWSPEC_DYN_ATTN=1/0 forces on/off."""
+    ~1.5GB of KV read per 7B verify pass even when the context is 100
+    tokens.
+
+    Hardware A/B (7B int8, 2560-row alloc, ~100-token live context,
+    PROFILE_ITERS=32): the blocked path wins the wide verify forward
+    (14.2ms vs 16.0 dense) but LOSES the 1-query-row AR step (the
+    dynamic-trip-count while_loop runs once per layer, and its per-iteration
+    overhead exceeds the skipped KV read for narrow queries); the full spec
+    round is a wash. Default OFF — the production answer to the allocation
+    tax is right-sizing the KV allocation to the request budget (bench.py).
+    FLOWSPEC_DYN_ATTN=1 opts in for wide-query/long-alloc workloads; only
+    allocations >= DYN_ATTN_MIN_ALLOC take the blocked path even then."""
     import os
     env = os.environ.get("FLOWSPEC_DYN_ATTN")
-    if env is not None:
-        return env not in ("0", "")
-    return s_alloc >= DYN_ATTN_MIN_ALLOC
+    if env is not None and env not in ("0", ""):
+        return s_alloc >= DYN_ATTN_MIN_ALLOC
+    return False
 
 
 def _attention_blocked(q, k_all, v_all, bias, n_rep: int, n_valid):
@@ -120,7 +128,6 @@ def _attention_blocked(q, k_all, v_all, bias, n_rep: int, n_valid):
     scale = d ** -0.5
     n_blocks = (n_valid.astype(jnp.int32) + (blk - 1)) // blk
 
-    qf = q.astype(jnp.float32)
     m0 = jnp.full((b, nq, t), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, nq, t), jnp.float32)
     a0 = jnp.zeros((b, nq, t, d), jnp.float32)
@@ -135,7 +142,10 @@ def _attention_blocked(q, k_all, v_all, bias, n_rep: int, n_valid):
         if n_rep > 1:
             kb = jnp.repeat(kb, n_rep, axis=1)
             vb = jnp.repeat(vb, n_rep, axis=1)
-        s = jnp.einsum("bhtd,bhsd->bhts", qf, kb.astype(jnp.float32)) * scale
+        # bf16 operands + f32 accumulate: the MXU runs bf16 inputs at full
+        # rate; casting inputs to f32 first would be ~8x slower
+        s = jnp.einsum("bhtd,bhsd->bhts", q, kb,
+                       preferred_element_type=jnp.float32) * scale
         s = s + bb[None, None]
         m2 = jnp.maximum(m, jnp.max(s, axis=-1))
         # masked columns carry -1e9 (finite); only the -inf init needs a
@@ -144,7 +154,8 @@ def _attention_blocked(q, k_all, v_all, bias, n_rep: int, n_valid):
         corr = jnp.where(jnp.isfinite(m), jnp.exp(m - m2), 0.0)
         l2 = l * corr + jnp.sum(p, axis=-1)
         acc2 = acc * corr[..., None] + jnp.einsum(
-            "bhts,bhsd->bhtd", p, vb.astype(jnp.float32))
+            "bhts,bhsd->bhtd", p.astype(q.dtype), vb,
+            preferred_element_type=jnp.float32)
         return m2, l2, acc2
 
     m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, a0))

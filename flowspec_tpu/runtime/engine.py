@@ -231,8 +231,9 @@ class SpecEngine:
         # final prompt chunk's pairs once here, stash the root's draft
         # hidden, and hand the decode loop depth_cap+1-row buffers.
         self._finish_prefill = jax.jit(functools.partial(
-            _finish_prefill, cfg=mc, ctx_small=tc.depth_cap + 1),
-            donate_argnums=(0,), **_shard(None, "d"))
+            _finish_prefill, cfg=mc, ctx_small=tc.depth_cap + 1,
+            sampling=cfg.sampling),
+            donate_argnums=(0,), **_shard(None, "d", None))
         self._round = jax.jit(functools.partial(
             _spec_round, cfg=mc, tree_cfg=tc, sampling=cfg.sampling,
             fwd=fwd),
@@ -310,16 +311,10 @@ class SpecEngine:
                 jnp.asarray(padded[i * c:(i + 1) * c]),
                 jnp.asarray(nxt[i * c:(i + 1) * c]),
                 n_valid)
-        # sample the first root token from the last valid position
-        key, sub = jax.random.split(state.key)
-        root = sample_token(sub, last_logits, self.cfg.sampling,
-                            is_probs=False)
-        # the final draft pair (root, hidden_{p-1}) is still pending with a
-        # placeholder token; patch it.
-        pt = state.pending_tokens.at[state.n_pending - 1].set(root)
-        state = dataclasses.replace(state, key=key, root_token=root,
-                                    pending_tokens=pt)
-        return self._finish_prefill(state, self.draft)
+        # root sampling + pair patching + drain happen inside the single
+        # jitted _finish_prefill call: each eager op here would cost one
+        # ~70ms dispatch RTT through the tunneled backend.
+        return self._finish_prefill(state, self.draft, last_logits)
 
     def _check_budget(self, prompt, max_new: int):
         """The KV allocation is max_seq_len + node_cap rows; tree chunks are
@@ -455,13 +450,20 @@ def _prefill_chunk(state: EngineState, params: LlamaParams,
     return new_state, last_logits
 
 
-def _finish_prefill(state: EngineState, draft: EagleParams, *,
-                    cfg: ModelConfig, ctx_small: int):
-    """Drain the final prompt chunk's (token, hidden) pairs — including the
-    patched root pair — and shrink the pending buffers to the decode-round
-    envelope (depth_cap+1 rows; a round commits at most depth_cap tokens).
-    The root's draft output hidden is stashed in `root_hidden` for the first
-    round, whose drain then sees n_pending == 0."""
+def _finish_prefill(state: EngineState, draft: EagleParams, last_logits, *,
+                    cfg: ModelConfig, ctx_small: int,
+                    sampling: SamplingConfig):
+    """Sample the first root token from `last_logits`, patch it into the
+    final pending draft pair (which held a placeholder), drain the final
+    prompt chunk's (token, hidden) pairs, and shrink the pending buffers to
+    the decode-round envelope (depth_cap+1 rows; a round commits at most
+    depth_cap tokens). The root's draft output hidden is stashed in
+    `root_hidden` for the first round, whose drain then sees n_pending == 0."""
+    key, sub = jax.random.split(state.key)
+    root = sample_token(sub, last_logits, sampling, is_probs=False)
+    pt = state.pending_tokens.at[state.n_pending - 1].set(root)
+    state = dataclasses.replace(state, key=key, root_token=root,
+                                pending_tokens=pt)
     out, dcache = draft_context_forward(
         draft, state.draft_cache, state.pending_tokens, state.pending_hidden,
         state.draft_cache.length, state.n_pending, cfg)
@@ -499,17 +501,6 @@ def _pad_rows(h, n):
     if c > n:
         return h[:, :n]
     return jnp.concatenate([h, jnp.zeros((b, n - c, d), h.dtype)], axis=1)
-
-
-def _pin_param_layouts(params):
-    """No-op hook. XLA's layout assignment materializes transposed copies of
-    the attention weights for the wide tree-verify matmul (~3GB at 7B bf16).
-    Layout constraints via jax.experimental.layout did not suppress the
-    copies inside the decode while-loop; the working mitigations are int8/nf4
-    weights (quantization halves both weights and copies) and right-sizing
-    node_cap. Proper AOT layout negotiation is a follow-up.
-    """
-    return params
 
 
 def _chain_tree(serve: ServeCtx, tree_cfg: TreeConfig):

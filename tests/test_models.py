@@ -258,6 +258,10 @@ def test_dyn_attn_gate_env(monkeypatch):
     forced = L.attention(q, k, v, bias, 1, n_valid=jnp.asarray(103))
     np.testing.assert_allclose(np.asarray(forced), np.asarray(dense),
                                rtol=2e-5, atol=2e-5)
-    monkeypatch.delenv("FLOWSPEC_DYN_ATTN")
+    # opted in: only large allocations take the blocked path
     assert not L._use_dyn_attn(512)
     assert L._use_dyn_attn(1024)
+    # default (no env): dense everywhere — the blocked path lost its AR-step
+    # hardware A/B and is opt-in only
+    monkeypatch.delenv("FLOWSPEC_DYN_ATTN")
+    assert not L._use_dyn_attn(1024)
