@@ -175,6 +175,8 @@ def main():
     quant = os.environ.get("BENCH_QUANT",
                            "int8" if model_kind in ("7b", "13b") else "none")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    if mode == "serve":
+        batch = max(batch, 4)   # serve() needs the batched engine's slots
     # BENCH_TEMP > 0 exercises the stochastic acceptance path (the
     # reference reports T=0 and T=1 rows; its T=1 numbers are ~4% below
     # T=0, README.md:136-144)
@@ -218,9 +220,15 @@ def main():
     # reference tree defaults: 80 tokens / top-10 / depth-6; node_cap sized
     # to the single-chip engine's needs (fresh tree per round, no merge)
     tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16)
+    # BENCH_BUCKETS="640,1280" enables KV bucket growth inside the fused
+    # decode (early rounds run in a small allocation; caches migrate as
+    # commit_len grows) — the long-context alternative to right-sizing
+    buckets = tuple(int(x) for x in
+                    os.environ.get("BENCH_BUCKETS", "").split(",") if x)
     cfg = EngineConfig(model=mc, tree=tc,
                        sampling=SamplingConfig(temperature=temp),
-                       max_new_tokens=n_tokens, max_seq_len=max_seq)
+                       max_new_tokens=n_tokens, max_seq_len=max_seq,
+                       kv_buckets=buckets)
 
     if quant == "none" and mode == "spec" and batch <= 1:
         # bf16 spec needs XLA's negotiated (transposed) weight layouts to
@@ -238,7 +246,13 @@ def main():
     rng0 = np.random.default_rng(0)
     prompt = rng0.integers(10, 1000, 64)
 
-    if batch > 1:
+    if mode == "serve":
+        # token-level continuous batching: 2x batch_size requests through
+        # `batch` slots; finished slots refill mid-flight (prompt chunks ride
+        # the same rounds as the other slots' decode — no stall)
+        prompts = [rng0.integers(10, 1000, 64) for _ in range(2 * batch)]
+        gen = lambda p_, **kw: eng.serve(prompts, **kw)
+    elif batch > 1:
         prompts = [rng0.integers(10, 1000, 64) for _ in range(batch)]
         gen = lambda p_, **kw: eng.generate_batch_fused(prompts, **kw)
     else:
@@ -264,12 +278,15 @@ def main():
     qtag = "" if quant == "none" else f"_{quant}"
     btag = "" if batch <= 1 else f"_b{batch}"
     stag = "greedy" if temp == 0 else f"t{temp:g}"
-    print(json.dumps({
+    row = {
         "metric": f"output_tokens_per_s_{model_kind}{qtag}_{mode}{btag}_{stag}",
         "value": round(tps, 3),
         "unit": "tokens/s",
         "vs_baseline": round(tps / baseline, 3),
-    }))
+    }
+    if "slot_utilization" in stats:
+        row["slot_utilization"] = round(stats["slot_utilization"], 3)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

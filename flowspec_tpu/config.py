@@ -196,3 +196,13 @@ class EngineConfig:
     # the exact head, so greedy losslessness is unaffected (proposal-
     # independent). "auto" = int8 iff the draft weights are quantized.
     beam_head_quant: str = "auto"        # auto|none|int8
+    # KV bucket growth for long generations: attention reads the WHOLE
+    # static KV allocation every pass (dense path), so allocating
+    # max_seq_len rows up front taxes every early round (+11.8ms/round at
+    # 7B for a 2816-row alloc vs 512 at ~100 live tokens — PROFILE_7b_
+    # int8.md). With buckets, generate_fused starts in the smallest bucket
+    # that fits the prompt and migrates (zero-pads) the caches to the next
+    # bucket when commit_len approaches the current one; each bucket is a
+    # separately compiled fused loop (cached). None/() = single allocation
+    # at max_seq_len (previous behavior).
+    kv_buckets: tuple = ()               # ascending max_seq values

@@ -199,9 +199,8 @@ class SpecEngine:
         # streams the cache in 256/512-row blocks (ops/tree_attention.py) and
         # its gate requires s_max % 256 == 0; the tail rows are masked by the
         # bias either way, and the cost is <=255 extra rows per layer.
-        rnd = lambda n: -(-n // 256) * 256
-        self.draft_kv_len = rnd(cfg.max_seq_len + max_levels * tc.top_k)
-        self.base_kv_len = rnd(cfg.max_seq_len + tc.node_cap)
+        self._max_levels = max_levels
+        self.draft_kv_len, self.base_kv_len = self._kv_rows(cfg.max_seq_len)
 
         fwd = forward_fn if forward_fn is not None else model_forward
 
@@ -269,15 +268,46 @@ class SpecEngine:
         self._ar_loop = _ar_loop
 
     # ---- state setup -----------------------------------------------------
-    def init_state(self, seed: int = 0) -> EngineState:
+    def _kv_rows(self, max_seq: int):
+        """(draft_rows, base_rows) KV allocation for a max_seq budget."""
+        tc = self.cfg.tree
+        rnd = lambda n: -(-n // 256) * 256
+        return (rnd(max_seq + self._max_levels * tc.top_k),
+                rnd(max_seq + tc.node_cap))
+
+    def _plan_buckets(self, prompt_len: int, max_new: int):
+        """Ascending max_seq bucket schedule for one request; [max_seq_len]
+        when bucket growth is off. Buckets too small to fit the prompt plus
+        one round are dropped, and the list is cut at the first bucket that
+        covers the full request (later buckets can never engage)."""
+        tc = self.cfg.tree
+        full = self.cfg.max_seq_len
+        if not self.cfg.kv_buckets:
+            return [full]
+        need = prompt_len + max_new + tc.depth_cap + 1
+        out = []
+        for s in sorted(set(self.cfg.kv_buckets) | {full}):
+            if s > full:
+                continue
+            if s < prompt_len + tc.depth_cap + 1:
+                continue
+            out.append(s)
+            if s >= need:
+                break
+        return out or [full]
+
+    def init_state(self, seed: int = 0, max_seq: int = None) -> EngineState:
         mc = self.cfg.model
         dt = jnp.dtype(mc.dtype)
+        draft_rows, base_rows = (
+            self._kv_rows(max_seq) if max_seq is not None
+            else (self.draft_kv_len, self.base_kv_len))
         return EngineState(
             base_cache=init_kv_cache(mc.num_hidden_layers, 1,
                                      mc.num_key_value_heads,
-                                     self.base_kv_len, mc.head_dim_, dt),
+                                     base_rows, mc.head_dim_, dt),
             draft_cache=init_kv_cache(1, 1, mc.num_key_value_heads,
-                                      self.draft_kv_len, mc.head_dim_, dt),
+                                      draft_rows, mc.head_dim_, dt),
             commit_len=jnp.zeros((), jnp.int32),
             root_token=jnp.zeros((), jnp.int32),
             pending_tokens=jnp.zeros((self.ctx_pad,), jnp.int32),
@@ -364,27 +394,46 @@ class SpecEngine:
         """Like generate(), but the whole multi-round decode loop runs in ONE
         device program (lax.while_loop over rounds) — no host round-trips.
         This is the production path: per-round host dispatch costs one RPC
-        to the accelerator, which dominates at small round times."""
+        to the accelerator, which dominates at small round times.
+
+        With cfg.kv_buckets set, the decode runs as a chain of fused
+        segments: the KV caches start in the smallest bucket that fits the
+        prompt, and when commit_len approaches the bucket's budget the loop
+        exits, the caches are zero-padded to the next bucket, and the next
+        segment continues — early rounds never pay the full-allocation
+        attention-read tax (see EngineConfig.kv_buckets)."""
         max_new = max_new_tokens or self.cfg.max_new_tokens
         self._check_budget(prompt, max_new)
-        state = self.init_state(seed)
+        p_len = len(np.asarray(prompt).reshape(-1))
+        buckets = self._plan_buckets(p_len, max_new)
+        state = self.init_state(seed, max_seq=buckets[0])
         state = self.prefill(state, prompt)
-        out_buf, n_out, rounds = self._spec_loop(
-            state, self.params, self.draft, self.beam_head,
-            jnp.asarray(eos_token_id, jnp.int32),
-            jnp.asarray(max_new, jnp.int32), max_out=int(max_new))
-        n = int(n_out)
-        toks = np.asarray(out_buf)[:n]
-        # trim past eos / budget like the reference's outer loop
+
         out = list(np.asarray(prompt, np.int64))
         new_tokens = 0
-        for t in toks:
-            out.append(int(t))
-            new_tokens += 1
-            if int(t) == eos_token_id or new_tokens >= max_new:
+        rounds = 0
+        for i, seq in enumerate(buckets):
+            if i:
+                state = _grow_kv(state, *self._kv_rows(seq))
+            out_buf, n_out, seg_rounds, done, state = self._spec_loop(
+                state, self.params, self.draft, self.beam_head,
+                jnp.asarray(eos_token_id, jnp.int32),
+                jnp.asarray(max_new - new_tokens, jnp.int32),
+                jnp.asarray(seq, jnp.int32), max_out=int(max_new))
+            rounds += int(seg_rounds)
+            # trim past eos / budget like the reference's outer loop
+            stop = False
+            for t in np.asarray(out_buf)[:int(n_out)]:
+                out.append(int(t))
+                new_tokens += 1
+                if int(t) == eos_token_id or new_tokens >= max_new:
+                    stop = True
+                    break
+            if stop or bool(done) or new_tokens >= max_new:
                 break
-        return out, {"new_tokens": new_tokens, "rounds": int(rounds),
-                     "accept_per_round": new_tokens / max(int(rounds), 1)}
+        return out, {"new_tokens": new_tokens, "rounds": rounds,
+                     "accept_per_round": new_tokens / max(rounds, 1),
+                     "kv_buckets_used": i + 1}
 
     def generate_ar_fused(self, prompt, max_new_tokens: Optional[int] = None,
                           eos_token_id: int = 2, seed: int = 0):
@@ -656,13 +705,36 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
                                   n_accepted=n_emit), serve2
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
+def _grow_kv(state: EngineState, draft_rows: int,
+             base_rows: int) -> EngineState:
+    """Migrate a request's KV caches to a larger bucket by zero-padding the
+    seq axis; lengths and all other state carry over unchanged. One
+    liveness copy per migration — amortized over the whole next segment."""
+    def pad(c: KVCache, rows: int) -> KVCache:
+        p = rows - c.k.shape[3]
+        w = ((0, 0), (0, 0), (0, 0), (0, p), (0, 0))
+        return KVCache(k=jnp.pad(c.k, w), v=jnp.pad(c.v, w),
+                       length=c.length)
+    return dataclasses.replace(
+        state,
+        base_cache=pad(state.base_cache, base_rows),
+        draft_cache=pad(state.draft_cache, draft_rows))
+
+
 def _spec_decode_loop(state: EngineState, params: LlamaParams,
-                      draft: EagleParams, beam_head, eos_id, budget, *,
-                      max_out: int, cfg: ModelConfig, tree_cfg: TreeConfig,
-                      sampling: SamplingConfig, fwd=model_forward,
-                      gate_lanes: bool = True):
+                      draft: EagleParams, beam_head, eos_id, budget,
+                      commit_cap, *, max_out: int, cfg: ModelConfig,
+                      tree_cfg: TreeConfig, sampling: SamplingConfig,
+                      fwd=model_forward, gate_lanes: bool = True):
     """On-device multi-round loop: while tokens remain, run _spec_round and
     append its accepted tokens to a fixed buffer.
+
+    `commit_cap` (dynamic) bounds commit_len so rounds only start while the
+    KV allocation has node_cap headroom; callers with a single full-size
+    allocation pass cfg.max_seq_len (then _check_budget guarantees it never
+    binds), bucketed callers pass the current bucket's max_seq and grow the
+    caches when the loop exits early (done=False, tokens left).
 
     `gate_lanes` (static) selects the vmap-safe body: under vmap the while
     runs until EVERY lane finishes, so finished lanes must select the old
@@ -670,20 +742,24 @@ def _spec_decode_loop(state: EngineState, params: LlamaParams,
     guarantees `active` at body entry, and skipping the select lets XLA keep
     the KV-cache updates in place instead of holding old+new buffers live
     across a ~670MB-per-cache dynamic select every round (~2ms/round at 7B).
+
+    Returns (out_buf, n_out, rounds, done, state) — state comes back so
+    bucketed callers can migrate it and continue.
     """
     d_cap = tree_cfg.depth_cap
     buf_cap = max_out + d_cap + 1   # one round may overshoot by <= d_cap
 
     def cond(carry):
-        _, out, n_out, done, rounds = carry
-        return ~done & (n_out < budget)
+        st, out, n_out, done, rounds = carry
+        return ~done & (n_out < budget) & (st.commit_len <= commit_cap)
 
     def body(carry):
         st, out, n_out, done, rounds = carry
         st2, res = _spec_round(st, params, draft, beam_head, cfg=cfg,
                                tree_cfg=tree_cfg, sampling=sampling, fwd=fwd)
         # `active` gates all updates (vmap: finished lanes must be no-ops).
-        active = (~done & (n_out < budget)) if gate_lanes \
+        active = (~done & (n_out < budget)
+                  & (st.commit_len <= commit_cap)) if gate_lanes \
             else jnp.asarray(True)
         d_idx = jnp.arange(d_cap, dtype=jnp.int32)
         pv = active & (d_idx < res.n_accepted)
@@ -703,8 +779,8 @@ def _spec_decode_loop(state: EngineState, params: LlamaParams,
     init = (state, jnp.zeros((buf_cap,), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.asarray(False),
             jnp.zeros((), jnp.int32))
-    _, out, n_out, _, rounds = jax.lax.while_loop(cond, body, init)
-    return out, n_out, rounds
+    st, out, n_out, done, rounds = jax.lax.while_loop(cond, body, init)
+    return out, n_out, rounds, done, st
 
 
 def _ar_decode_loop(state: EngineState, params: LlamaParams, eos_id, *,

@@ -127,3 +127,56 @@ def test_generate_rejects_overlong_request():
     prompt = list(range(3, 13))
     with pytest.raises(ValueError):
         eng.generate(prompt, max_new_tokens=limit)
+
+
+def test_kv_bucket_growth_lossless():
+    """cfg.kv_buckets: generate_fused starts in a small KV bucket and
+    migrates to larger ones as commit_len grows — the emitted stream must be
+    identical to the single-allocation path (attention reads only change in
+    how much masked padding they span), and multiple buckets must actually
+    engage."""
+    import dataclasses as dc
+    eng = _make_engine(seed=6)
+    ref, _ = eng.generate_fused([5, 9, 3, 7, 4, 8, 6], max_new_tokens=40,
+                                eos_token_id=-1)
+
+    cfgb = dc.replace(eng.cfg, kv_buckets=(16, 32, 64))
+    engb = SpecEngine(eng.params, eng.draft, cfgb)
+    outb, stats = engb.generate_fused([5, 9, 3, 7, 4, 8, 6],
+                                      max_new_tokens=40, eos_token_id=-1)
+    assert outb == ref
+    assert stats["new_tokens"] == 40
+    assert stats["kv_buckets_used"] >= 2, stats
+
+    # eos inside an early bucket stops the chain early
+    eos = ref[len([5, 9, 3, 7, 4, 8, 6]) + 5]
+    oute, stats_e = engb.generate_fused([5, 9, 3, 7, 4, 8, 6],
+                                        max_new_tokens=40, eos_token_id=eos)
+    refe, _ = eng.generate_fused([5, 9, 3, 7, 4, 8, 6], max_new_tokens=40,
+                                 eos_token_id=eos)
+    assert oute == refe
+
+
+def test_grow_kv_preserves_content():
+    """_grow_kv zero-pads the seq axis only: live rows, lengths and all
+    other state fields must survive a bucket migration bit-exactly."""
+    from flowspec_tpu.runtime.engine import _grow_kv
+    eng = _make_engine(seed=7)
+    state = eng.init_state(0, max_seq=40)     # 256-row allocs
+    state = eng.prefill(state, list(range(3, 23)))
+    base_rows0 = state.base_cache.k.shape[3]
+    k0 = np.asarray(state.base_cache.k)
+    dk0 = np.asarray(state.draft_cache.k)
+    commit0 = int(state.commit_len)
+    length0 = int(state.base_cache.length)
+
+    grown = _grow_kv(state, *eng._kv_rows(600))   # donates `state`
+    assert grown.base_cache.k.shape[3] > base_rows0
+    assert int(grown.commit_len) == commit0
+    assert int(grown.base_cache.length) == length0
+    np.testing.assert_array_equal(
+        np.asarray(grown.base_cache.k)[:, :, :, :base_rows0], k0)
+    np.testing.assert_array_equal(
+        np.asarray(grown.draft_cache.k)[:, :, :, :dk0.shape[3]], dk0)
+    assert not np.asarray(
+        grown.base_cache.k)[:, :, :, base_rows0:].any()
