@@ -25,16 +25,26 @@ def main():
     ap.add_argument("--random", choices=["tiny", "1b", "7b"],
                     help="use random weights of this size instead")
     ap.add_argument("--engine", default="single",
-                    choices=["single", "pipeline", "tp", "galaxy"])
+                    choices=["single", "pipeline", "tp", "galaxy", "serve"])
+    ap.add_argument("--slots", type=int, default=4,
+                    help="serve engine: concurrent decode slots")
+    ap.add_argument("--requests", type=int, default=8,
+                    help="serve engine: queued copies of the prompt")
     ap.add_argument("--schedule", default="continuous")
     ap.add_argument("--template", default="vicuna")
     ap.add_argument("--prompt", default="Tell me a short story about a robot.")
     ap.add_argument("--max-new-tokens", type=int, default=128)
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--stages", type=int, default=4)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); needed because "
+                         "the container's sitecustomize overrides the "
+                         "JAX_PLATFORMS env var via jax.config")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from flowspec_tpu.config import (
         EngineConfig, ModelConfig, SamplingConfig, StageTopology, TreeConfig,
@@ -79,6 +89,10 @@ def main():
         from flowspec_tpu.parallel.tp import TPEngine
         eng = TPEngine(params, draft, cfg, galaxy=args.engine == "galaxy")
         gen = eng.generate_fused
+    elif args.engine == "serve":
+        from flowspec_tpu.runtime.batched import BatchedSpecEngine
+        eng = BatchedSpecEngine(params, draft, cfg, batch_size=args.slots)
+        gen = None   # serve path handled below
     else:
         eng = SpecEngine(params, draft, cfg)
         gen = eng.generate_fused
@@ -94,20 +108,33 @@ def main():
 
     print(f"engine={args.engine} schedule={args.schedule} "
           f"prompt_len={len(prompt_ids)}")
-    gen(prompt_ids, max_new_tokens=args.max_new_tokens, eos_token_id=eos)
-    t0 = time.perf_counter()
-    out, stats = gen(prompt_ids, max_new_tokens=args.max_new_tokens,
-                     eos_token_id=eos)
-    dt = time.perf_counter() - t0
+    if args.engine == "serve":
+        prompts = [prompt_ids] * args.requests
+        eng.serve(prompts, max_new_tokens=args.max_new_tokens,
+                  eos_token_id=eos)
+        t0 = time.perf_counter()
+        outs, stats = eng.serve(prompts, max_new_tokens=args.max_new_tokens,
+                                eos_token_id=eos)
+        dt = time.perf_counter() - t0
+        out = outs[0]
+    else:
+        gen(prompt_ids, max_new_tokens=args.max_new_tokens, eos_token_id=eos)
+        t0 = time.perf_counter()
+        out, stats = gen(prompt_ids, max_new_tokens=args.max_new_tokens,
+                         eos_token_id=eos)
+        dt = time.perf_counter() - t0
 
     new = out[len(prompt_ids):]
     if tokenizer is not None:
         print("---\n" + tokenizer.decode(new) + "\n---")
     else:
         print("generated token ids:", new[:32], "..." if len(new) > 32 else "")
-    print(f"{stats['new_tokens']} tokens in {dt:.2f}s = "
-          f"{stats['new_tokens'] / dt:.2f} tok/s | "
-          f"accept/round = {stats.get('accept_per_round', 0):.2f}")
+    line = (f"{stats['new_tokens']} tokens in {dt:.2f}s = "
+            f"{stats['new_tokens'] / dt:.2f} tok/s | "
+            f"accept/round = {stats.get('accept_per_round', 0):.2f}")
+    if "slot_utilization" in stats:
+        line += f" | slot_utilization = {stats['slot_utilization']:.2f}"
+    print(line)
 
 
 if __name__ == "__main__":
