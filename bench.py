@@ -251,7 +251,9 @@ def main():
         # `batch` slots; finished slots refill mid-flight (prompt chunks ride
         # the same rounds as the other slots' decode — no stall)
         prompts = [rng0.integers(10, 1000, 64) for _ in range(2 * batch)]
-        gen = lambda p_, **kw: eng.serve(prompts, **kw)
+        serve_k = int(os.environ.get("BENCH_SERVE_K", "8"))
+        gen = lambda p_, **kw: eng.serve(prompts,
+                                         rounds_per_dispatch=serve_k, **kw)
     elif batch > 1:
         prompts = [rng0.integers(10, 1000, 64) for _ in range(batch)]
         gen = lambda p_, **kw: eng.generate_batch_fused(prompts, **kw)

@@ -38,8 +38,12 @@ class EvalResult:
         return self.total_decode_s / max(self.n_questions, 1)
 
     @property
-    def accept_per_round(self) -> float:
-        return self.total_new_tokens / max(self.total_rounds, 1)
+    def accept_per_round(self):
+        """None when the engine doesn't track rounds (the fused pipeline
+        loop runs rounds on-device and reports rounds=-1)."""
+        if self.total_rounds <= 0:
+            return None
+        return self.total_new_tokens / self.total_rounds
 
     @property
     def accept_per_turn(self) -> float:
@@ -53,7 +57,8 @@ class EvalResult:
             "new_tokens": self.total_new_tokens,
             "throughput_tok_s": round(self.throughput, 3),
             "avg_latency_s": round(self.avg_latency, 3),
-            "accept_per_round": round(self.accept_per_round, 3),
+            "accept_per_round": (None if self.accept_per_round is None
+                                 else round(self.accept_per_round, 3)),
             "accept_per_turn": round(self.accept_per_turn, 3),
         }
 
@@ -99,7 +104,9 @@ def run_eval(
             res.total_new_tokens += stats.get("new_tokens",
                                               len(answer_tokens))
             res.total_decode_s += dt
-            res.total_rounds += stats.get("rounds", 0)
+            # the fused pipeline loop reports rounds=-1 (rounds are not
+            # tracked on-device); don't let the sentinel poison the mean
+            res.total_rounds += max(stats.get("rounds", 0), 0)
             res.total_turns += stats.get("turns", stats.get("rounds", 0))
             res.n_conv_turns += 1
         res.n_questions += 1
