@@ -88,6 +88,11 @@ class BatchedSpecEngine(SpecEngine):
                     st, ctx, accs, naccs, emitted, lane_done, i = c
                     return (i < k) & ~jnp.any(lane_done)
 
+                # lanes with no live request pass a sentinel budget; their
+                # garbage tokens must not trip the early exit (an empty
+                # tail-wave slot would otherwise force K=1 dispatches)
+                lane_live = remaining < jnp.int32(2 ** 30)
+
                 def body(c):
                     st, ctx, accs, naccs, emitted, lane_done, i = c
                     ok = st.commit_len <= seq_limit          # (B,)
@@ -100,8 +105,9 @@ class BatchedSpecEngine(SpecEngine):
                     ctx3 = jax.tree_util.tree_map(sel, ctx2, ctx)
                     n_j = jnp.where(ok, res.n_accepted, 0)   # (B,)
                     valid = jnp.arange(d_cap)[None, :] < n_j[:, None]
-                    eos_hit = jnp.any(valid & (res.accepted == eos_id)
-                                      & (eos_id >= 0), axis=1)
+                    eos_hit = lane_live & jnp.any(
+                        valid & (res.accepted == eos_id) & (eos_id >= 0),
+                        axis=1)
                     emitted2 = emitted + n_j
                     done2 = lane_done | eos_hit | (emitted2 >= remaining)
                     return (st3, ctx3, accs.at[i].set(res.accepted),
