@@ -225,10 +225,15 @@ def main():
     # commit_len grows) — the long-context alternative to right-sizing
     buckets = tuple(int(x) for x in
                     os.environ.get("BENCH_BUCKETS", "").split(",") if x)
+    # BENCH_FORCE_ACCEPT=n: synthetic-acceptance measurement mode — random
+    # weights pin real acceptance at ~1 token/round; this measures the
+    # engine's acceptance->throughput curve (metric is tagged _fa{n};
+    # outputs are NOT the model's distribution — see EngineConfig)
+    force_accept = int(os.environ.get("BENCH_FORCE_ACCEPT", "0"))
     cfg = EngineConfig(model=mc, tree=tc,
                        sampling=SamplingConfig(temperature=temp),
                        max_new_tokens=n_tokens, max_seq_len=max_seq,
-                       kv_buckets=buckets)
+                       kv_buckets=buckets, force_accept=force_accept)
 
     if quant == "none" and mode == "spec" and batch <= 1:
         # bf16 spec needs XLA's negotiated (transposed) weight layouts to
@@ -259,6 +264,30 @@ def main():
         gen = lambda p_, **kw: eng.generate_batch_fused(prompts, **kw)
     else:
         gen = eng.generate_fused if mode == "spec" else eng.generate_ar_fused
+    if mode == "ttft":
+        # p50 time-to-first-token (BASELINE.json metric): cold request ->
+        # chunked prefill -> first spec round -> first committed token on
+        # host. No reference TTFT is published, so vs_baseline is null.
+        times = []
+        for it in range(8):
+            state = eng.init_state(seed=it)
+            t0 = time.perf_counter()
+            state = eng.prefill(state, prompt)
+            state, res = eng._round(state, eng.params, eng.draft,
+                                    eng.beam_head)
+            np.asarray(res.accepted)        # force device->host
+            if it > 0:                      # it 0 pays the compile
+                times.append(time.perf_counter() - t0)
+        p50 = sorted(times)[len(times) // 2]
+        qtag = "" if quant == "none" else f"_{quant}"
+        print(json.dumps({
+            "metric": f"ttft_p50_{model_kind}{qtag}",
+            "value": round(p50 * 1e3, 2),
+            "unit": "ms",
+            "vs_baseline": None,
+        }))
+        return
+
     # warmup with the SAME token budget: max_out is a static argument of the
     # fused decode loop, so a different budget would recompile in the timed
     # region below
@@ -280,6 +309,8 @@ def main():
     qtag = "" if quant == "none" else f"_{quant}"
     btag = "" if batch <= 1 else f"_b{batch}"
     stag = "greedy" if temp == 0 else f"t{temp:g}"
+    if force_accept:
+        stag += f"_fa{force_accept}"   # synthetic-acceptance mode marker
     row = {
         "metric": f"output_tokens_per_s_{model_kind}{qtag}_{mode}{btag}_{stag}",
         "value": round(tps, 3),
@@ -288,6 +319,8 @@ def main():
     }
     if "slot_utilization" in stats:
         row["slot_utilization"] = round(stats["slot_utilization"], 3)
+    if "accept_per_round" in stats:
+        row["accept_per_round"] = round(stats["accept_per_round"], 3)
     print(json.dumps(row))
 
 

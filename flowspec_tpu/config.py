@@ -206,3 +206,11 @@ class EngineConfig:
     # separately compiled fused loop (cached). None/() = single allocation
     # at max_seq_len (previous behavior).
     kv_buckets: tuple = ()               # ascending max_seq values
+    # SYNTHETIC-ACCEPTANCE BENCH MODE (measurement only): when > 0, the
+    # greedy verdict is overridden to accept min(force_accept, deepest
+    # path) nodes along the deepest drafted path each round. Output tokens
+    # are then NOT the base model's distribution — this exists solely to
+    # measure the engine's acceptance->throughput scaling on hardware
+    # (random weights pin acceptance at ~1; trained EAGLE drafts reach
+    # ~3-4, reference README). Never set in production.
+    force_accept: int = 0

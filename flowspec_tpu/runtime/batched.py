@@ -43,7 +43,8 @@ class BatchedSpecEngine(SpecEngine):
         cfg = self.cfg    # SpecEngine clamps the tree caps; stay consistent
         self._vround = jax.jit(jax.vmap(
             functools.partial(_spec_round, cfg=cfg.model, tree_cfg=cfg.tree,
-                              sampling=cfg.sampling),
+                              sampling=cfg.sampling,
+                              force_accept=cfg.force_accept),
             in_axes=(0, None, None, None)), donate_argnums=(0,))
         self._vloops = {}
         # serve dispatch programs (mixed prefill/decode lanes, ServeCtx
@@ -66,7 +67,8 @@ class BatchedSpecEngine(SpecEngine):
             cfg = self.cfg
             vround = jax.vmap(
                 functools.partial(_spec_round, cfg=cfg.model,
-                                  tree_cfg=cfg.tree, sampling=cfg.sampling),
+                                  tree_cfg=cfg.tree, sampling=cfg.sampling,
+                                  force_accept=cfg.force_accept),
                 in_axes=(0, None, None, None, 0))
             seq_limit = cfg.max_seq_len - cfg.tree.depth_cap - 1
             d_cap = cfg.tree.depth_cap
@@ -130,7 +132,8 @@ class BatchedSpecEngine(SpecEngine):
             cfg = self.cfg
             f = functools.partial(
                 _spec_decode_loop, cfg=cfg.model, tree_cfg=cfg.tree,
-                sampling=cfg.sampling, max_out=max_out)
+                sampling=cfg.sampling, max_out=max_out,
+                force_accept=cfg.force_accept)
             self._vloops[max_out] = jax.jit(
                 jax.vmap(f, in_axes=(0, None, None, None, None, None,
                                      None)))

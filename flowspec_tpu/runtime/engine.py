@@ -235,7 +235,7 @@ class SpecEngine:
             donate_argnums=(0,), **_shard(None, "d", None))
         self._round = jax.jit(functools.partial(
             _spec_round, cfg=mc, tree_cfg=tc, sampling=cfg.sampling,
-            fwd=fwd),
+            fwd=fwd, force_accept=cfg.force_accept),
             donate_argnums=(0,),
             **_shard(None, "p", "d", None))
         self._ar_step = jax.jit(functools.partial(
@@ -253,7 +253,7 @@ class SpecEngine:
                 self._spec_loops[max_out] = jax.jit(functools.partial(
                     _spec_decode_loop, cfg=mc, tree_cfg=tc,
                     sampling=cfg.sampling, max_out=max_out, fwd=fwd,
-                    gate_lanes=False),
+                    gate_lanes=False, force_accept=cfg.force_accept),
                     **_shard(None, "p", "d", None, None, None))
             return self._spec_loops[max_out](*args)
 
@@ -582,7 +582,8 @@ def _chain_tree(serve: ServeCtx, tree_cfg: TreeConfig):
 def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
                 beam_head=None, serve: ServeCtx | None = None, *,
                 cfg: ModelConfig, tree_cfg: TreeConfig,
-                sampling: SamplingConfig, fwd=model_forward):
+                sampling: SamplingConfig, fwd=model_forward,
+                force_accept: int = 0):
     """One draft->verify->accept round (ref eagle/ea_model.py:236-297).
 
     With `serve`, a slot whose prompt is not fully consumed runs the round
@@ -637,6 +638,22 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
             max_trials=min(2 * tree_cfg.top_k, tree_cfg.leaf_cap))
     new_root = sample_token(k2, res.sample_p, sampling, is_probs=True)
     best_leaf, accept_len = res.best_leaf, res.accept_len
+
+    if force_accept:
+        # SYNTHETIC-ACCEPTANCE BENCH MODE (EngineConfig.force_accept): take
+        # the deepest drafted path and accept min(force_accept, its length)
+        # nodes, regardless of the real verdict. Every downstream stage
+        # (commit, KV compaction, pair drain) does exactly the work a real
+        # acceptance of that length would — tokens are garbage, timing is
+        # representative. Measurement only.
+        path_len = (tree.retrieve >= 0).sum(axis=1)            # (L,)
+        path_len = jnp.where(tree.leaf_valid(), path_len, 0)
+        best_leaf = jnp.argmax(path_len).astype(jnp.int32)
+        accept_len = jnp.minimum(jnp.asarray(force_accept, jnp.int32),
+                                 path_len[best_leaf] - 1)
+        last = jnp.clip(tree.retrieve[best_leaf, accept_len], 0, n_cap - 1)
+        new_root = sample_token(k2, jax.nn.softmax(
+            node_logits[last].astype(jnp.float32)), sampling, is_probs=True)
 
     if serve is not None:
         # Prefill lanes: the whole chain is "accepted" by construction; the
@@ -726,7 +743,8 @@ def _spec_decode_loop(state: EngineState, params: LlamaParams,
                       draft: EagleParams, beam_head, eos_id, budget,
                       commit_cap, *, max_out: int, cfg: ModelConfig,
                       tree_cfg: TreeConfig, sampling: SamplingConfig,
-                      fwd=model_forward, gate_lanes: bool = True):
+                      fwd=model_forward, gate_lanes: bool = True,
+                      force_accept: int = 0):
     """On-device multi-round loop: while tokens remain, run _spec_round and
     append its accepted tokens to a fixed buffer.
 
@@ -756,7 +774,8 @@ def _spec_decode_loop(state: EngineState, params: LlamaParams,
     def body(carry):
         st, out, n_out, done, rounds = carry
         st2, res = _spec_round(st, params, draft, beam_head, cfg=cfg,
-                               tree_cfg=tree_cfg, sampling=sampling, fwd=fwd)
+                               tree_cfg=tree_cfg, sampling=sampling, fwd=fwd,
+                               force_accept=force_accept)
         # `active` gates all updates (vmap: finished lanes must be no-ops).
         active = (~done & (n_out < budget)
                   & (st.commit_len <= commit_cap)) if gate_lanes \

@@ -180,3 +180,24 @@ def test_grow_kv_preserves_content():
         np.asarray(grown.draft_cache.k)[:, :, :, :dk0.shape[3]], dk0)
     assert not np.asarray(
         grown.base_cache.k)[:, :, :, base_rows0:].any()
+
+
+def test_force_accept_bench_mode():
+    """Synthetic-acceptance measurement mode: with force_accept=n the engine
+    commits min(n, deepest path) nodes per round through the real commit/
+    compaction path — accept_per_round rises accordingly, and the default
+    (force_accept=0) path is untouched."""
+    import dataclasses as dc
+    eng = _make_engine(seed=8)
+    prompt = [5, 9, 3, 7, 4, 8, 6]
+    ref, ref_stats = eng.generate_fused(prompt, max_new_tokens=24,
+                                        eos_token_id=-1)
+
+    engf = SpecEngine(eng.params, eng.draft,
+                      dc.replace(eng.cfg, force_accept=3))
+    outf, stats = engf.generate_fused(prompt, max_new_tokens=24,
+                                      eos_token_id=-1)
+    assert stats["new_tokens"] == 24
+    # beam depth is 4 in this config, so paths of >= 4 nodes exist
+    assert stats["accept_per_round"] >= 2.5, stats
+    assert stats["rounds"] < ref_stats["rounds"], (stats, ref_stats)
