@@ -168,7 +168,8 @@ def topk_generate(p: EagleParams, head: jax.Array, cache: KVCache,
                   tree_cfg: TreeConfig, cfg: ModelConfig,
                   num_select: int | None = None,
                   depth: int | None = None,
-                  max_levels: int | None = None):
+                  max_levels: int | None = None,
+                  force_deep_path: bool = False):
     """Generate a fresh draft tree hanging off `root_token`.
 
     `root_hidden` (H,) is the draft layer's output for the context pair whose
@@ -196,7 +197,32 @@ def topk_generate(p: EagleParams, head: jax.Array, cache: KVCache,
     (state, ck, cv), _ = jax.lax.scan(
         body, (state, cache.k[0], cache.v[0]), None, length=depth)
 
-    sel = select_topn(state.cand_scores, state.cand_valid, num_select)
+    sel_force = None
+    if force_deep_path and num_select > 0:
+        # SYNTHETIC-ACCEPTANCE BENCH MODE support (EngineConfig.
+        # force_accept): random-weight beam scores decay ~uniformly per
+        # level, so plain top-N keeps shallow nodes and the deepest
+        # selected path saturates around 3 — force the best final-frontier
+        # node's full chain into the tree so forced acceptance can reach
+        # `depth` tokens/round. Trees stay valid (ancestor-closed, within
+        # num_select); with trained drafts this flag is never set.
+        m = state.cand_tokens.shape[0]
+        i_m = jnp.arange(m, dtype=jnp.int32)
+
+        def walk(carry, _):
+            mask, node = carry
+            mask = mask | (i_m == node)
+            nxt = jnp.where(node >= 0,
+                            state.cand_parents[jnp.clip(node, 0, m - 1)],
+                            -1)
+            return (mask, nxt), None
+
+        (sel_force, _), _ = jax.lax.scan(
+            walk, (jnp.zeros((m,), jnp.bool_), state.flat_ids[0]), None,
+            length=depth)
+        num_select = max(num_select - depth, 1)   # keep total <= node_cap
+    sel = select_topn(state.cand_scores, state.cand_valid, num_select,
+                      force_include=sel_force)
     tree = build_tree(state.cand_tokens, state.cand_scores,
                       state.cand_parents, sel, root_token,
                       tree_cfg.node_cap, tree_cfg.leaf_cap,

@@ -604,7 +604,7 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
     head = params.lm_head if beam_head is None else beam_head
     tree, beam_state, dcache = topk_generate(
         draft, head, dcache, state.root_token, root_hidden,
-        tree_cfg, cfg)
+        tree_cfg, cfg, force_deep_path=force_accept > 0)
 
     if serve is not None:
         chain, n_chain = _chain_tree(serve, tree_cfg)
