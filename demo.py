@@ -131,7 +131,7 @@ def main():
         print("generated token ids:", new[:32], "..." if len(new) > 32 else "")
     line = (f"{stats['new_tokens']} tokens in {dt:.2f}s = "
             f"{stats['new_tokens'] / dt:.2f} tok/s | "
-            f"accept/round = {stats.get('accept_per_round', 0):.2f}")
+            f"accept/round = {stats.get('accept_per_round') or 0:.2f}")
     if "slot_utilization" in stats:
         line += f" | slot_utilization = {stats['slot_utilization']:.2f}"
     print(line)

@@ -101,6 +101,30 @@ class RoundOut(NamedTuple):
     ne_fires: jax.Array     # none_expand expansions taken on bubble turns
 
 
+def _put_global(tree, sharding):
+    """jax.device_put that also works on meshes spanning multiple processes
+    (real multi-host slices and the 2-process dryrun,
+    tools/multihost_dryrun.py): device_put rejects non-addressable
+    shardings, so those go through make_array_from_callback — each process
+    materializes only its own shards from the (identical-per-process) host
+    value, which is exactly the per-host weight-loading pattern on a pod
+    slice."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(tree, sharding)
+
+    def put_one(x):
+        if jnp.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            # typed PRNG keys can't cross numpy; transfer the raw key data
+            # (replicated — keys are never sharded here) and re-wrap
+            impl = jax.random.key_impl(x)
+            data = put_one(jax.random.key_data(x))
+            return jax.random.wrap_key_data(data, impl=impl)
+        xnp = np.asarray(x)
+        return jax.make_array_from_callback(xnp.shape, sharding,
+                                            lambda idx: xnp[idx])
+    return jax.tree_util.tree_map(put_one, tree)
+
+
 def _right_perm(p):
     return [(i, (i + 1) % p) for i in range(p)]
 
@@ -265,7 +289,7 @@ class PipelineEngine:
         self.max_levels = tc.depth + tc.expand_depth
 
         self.params = self._shard_params(params)
-        self.draft = jax.device_put(draft, NamedSharding(mesh, P()))
+        self.draft = _put_global(draft, NamedSharding(mesh, P()))
         from flowspec_tpu.runtime.engine import make_beam_head
         self.beam_head = make_beam_head(self.params, self.draft, cfg)
 
@@ -321,7 +345,7 @@ class PipelineEngine:
         int8 scale follows Out; nf4/int4 scale blocks follow In."""
         from flowspec_tpu.ops.quant import Int4Tensor, Int8Tensor, NF4Tensor
         m = self.mesh
-        put = lambda x, spec: jax.device_put(x, NamedSharding(m, spec))
+        put = lambda x, spec: _put_global(x, NamedSharding(m, spec))
         if (name in self._TP_COL or name in self._TP_ROW) and \
                 not isinstance(w, (Int8Tensor, NF4Tensor, Int4Tensor)) \
                 and w.ndim == 4:
@@ -362,10 +386,10 @@ class PipelineEngine:
                 for f in dataclasses.fields(lp)})
         else:
             lp = dataclasses.replace(lp, **{
-                f.name: jax.device_put(getattr(lp, f.name),
-                                       NamedSharding(m, P("stage")))
+                f.name: _put_global(getattr(lp, f.name),
+                                    NamedSharding(m, P("stage")))
                 for f in dataclasses.fields(lp)})
-        rep = lambda x: jax.device_put(x, NamedSharding(m, P()))
+        rep = lambda x: _put_global(x, NamedSharding(m, P()))
         return dataclasses.replace(params, layers=lp,
                                    embed=rep(params.embed),
                                    final_norm=rep(params.final_norm),
@@ -398,15 +422,15 @@ class PipelineEngine:
                            kv_len, mc.head_dim_, dt)
         kv_spec = (P("stage", None, "tp") if self.tp > 1 else P("stage"))
         kv = KVCache(
-            k=jax.device_put(kv.k, NamedSharding(mesh, kv_spec)),
-            v=jax.device_put(kv.v, NamedSharding(mesh, kv_spec)),
-            length=jax.device_put(kv.length, NamedSharding(mesh, P())))
+            k=_put_global(kv.k, NamedSharding(mesh, kv_spec)),
+            v=_put_global(kv.v, NamedSharding(mesh, kv_spec)),
+            length=_put_global(kv.length, NamedSharding(mesh, P())))
         draft_margin = max(self.max_levels * tc.top_k,
                            2 * tc.node_cap + tc.depth_cap + self.ctx)
         dc = init_kv_cache(1, 1, mc.num_key_value_heads,
                            self.cfg.max_seq_len + draft_margin,
                            mc.head_dim_, dt)
-        rep = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+        rep = lambda x: _put_global(x, NamedSharding(mesh, P()))
         return PipeState(
             kv=kv,
             draft_cache=KVCache(k=rep(dc.k), v=rep(dc.v),
@@ -502,10 +526,12 @@ class PipelineEngine:
             new_tokens += 1
             if int(t) == eos_token_id or new_tokens >= max_new:
                 break
+        # rounds run on-device inside the fused loop and aren't tracked;
+        # the harness treats rounds=-1 / accept_per_round=None as absent
         return out, {"new_tokens": new_tokens, "turns": int(res.turns),
                      "rounds": -1, "skips": int(res.skips),
                      "ne_fires": int(res.ne_fires),
-                     "accept_per_round": float("nan")}
+                     "accept_per_round": None}
 
     def generate(self, prompt, max_new_tokens=None, eos_token_id=2,
                  seed: int = 0):
