@@ -251,17 +251,28 @@ class BatchedSpecEngine(SpecEngine):
         Up to `rounds_per_dispatch` rounds run fused in one device program
         per host dispatch (the device loop exits early when any lane
         finishes, so refills still land on the exact finishing round);
-        dispatch overhead drops to ~1/K without losing slot utilization."""
-        max_new = max_new_tokens or self.cfg.max_new_tokens
+        dispatch overhead drops to ~1/K without losing slot utilization.
+
+        `max_new_tokens` may be a single budget or one per request."""
+        n_req = len(prompts)
+        if max_new_tokens is None:
+            budgets = [self.cfg.max_new_tokens] * n_req
+        elif np.ndim(max_new_tokens) == 0:
+            budgets = [int(max_new_tokens)] * n_req
+        else:
+            budgets = [int(x) for x in max_new_tokens]
+            assert len(budgets) == n_req, (len(budgets), n_req)
         b = self.batch_size
         k = max(1, int(rounds_per_dispatch))
-        for p in prompts:
-            self._check_budget(p, max_new)
+        for p, mx in zip(prompts, budgets):
+            self._check_budget(p, mx)
         scan_k = self._get_serve_scan(k)
-        queue = list(range(len(prompts)))
+        queue = list(range(n_req))
         outs: List[list] = [list(np.asarray(p, np.int64)) for p in prompts]
-        new_tokens = [0] * len(prompts)
-        finished = [False] * len(prompts)
+        new_tokens = [0] * n_req
+        finished = [False] * n_req
+        admit_round = [0] * n_req    # round index when the slot was filled
+        finish_round = [0] * n_req
 
         slot_req = [-1] * b          # which request occupies each slot
         states, ctxs = [], []
@@ -278,13 +289,12 @@ class BatchedSpecEngine(SpecEngine):
         sentinel = np.int32(2**30)   # inactive lanes can never reach it
         while any(r >= 0 for r in slot_req):
             remaining = jnp.asarray(
-                [max_new - new_tokens[r] if r >= 0 else sentinel
+                [budgets[r] - new_tokens[r] if r >= 0 else sentinel
                  for r in slot_req], jnp.int32)
             batched, bctx, accs, naccs, n_exec = scan_k(
                 batched, self.params, self.draft, self.beam_head, bctx,
                 remaining, jnp.asarray(eos_token_id, jnp.int32))
             n_exec = int(n_exec)
-            rounds += n_exec
             naccs = np.asarray(naccs)            # (K, B)
             accs = np.asarray(accs)              # (K, B, depth_cap)
             refill = [False] * b
@@ -300,10 +310,12 @@ class BatchedSpecEngine(SpecEngine):
                         outs[r].append(int(t))
                         new_tokens[r] += 1
                         if int(t) == eos_token_id or \
-                                new_tokens[r] >= max_new:
+                                new_tokens[r] >= budgets[r]:
                             finished[r] = True
+                            finish_round[r] = rounds + j + 1
                             break
                 refill[s] = finished[r]
+            rounds += n_exec
             for s in range(b):
                 if not refill[s]:
                     continue
@@ -316,8 +328,15 @@ class BatchedSpecEngine(SpecEngine):
                 bctx = self._write_slot(
                     bctx, self._serve_ctx(
                         prompts[nr] if nr >= 0 else None), s)
+                if nr >= 0:
+                    admit_round[nr] = rounds
         total = sum(new_tokens)
         return outs, {"new_tokens": total, "rounds": rounds,
                       "per_request": new_tokens,
+                      # per-request latency in rounds, admission->finish
+                      # (admission = slot fill; includes prompt-chain
+                      # prefill rounds)
+                      "latency_rounds": [finish_round[r] - admit_round[r]
+                                         for r in range(n_req)],
                       "slot_utilization": busy_slot_rounds
                       / max(rounds * b, 1)}

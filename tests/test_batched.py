@@ -92,3 +92,22 @@ def test_serve_long_prompt_refill_token_level():
     for i, (o, r) in enumerate(zip(outs, refs)):
         assert o == r, (i, o, r)
     assert stats["per_request"] == [10] * 4
+
+
+def test_serve_per_request_budgets_and_latency():
+    """Heterogeneous budgets: each request stops at ITS max_new, outputs
+    still equal the solo AR streams, and latency_rounds is consistent
+    (a request's rounds >= its own budget at worst-case acceptance 1)."""
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(3, 14, 6 + i).tolist() for i in range(4)]
+    budgets = [4, 9, 6, 3]
+    refs = [eng.generate_ar(p, max_new_tokens=m, eos_token_id=-1)[0]
+            for p, m in zip(prompts, budgets)]
+    outs, stats = eng.serve(prompts, max_new_tokens=budgets,
+                            eos_token_id=-1)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert o == r, (i, o, r)
+    assert stats["per_request"] == budgets
+    assert all(lr >= 1 for lr in stats["latency_rounds"]), stats
+    assert sum(stats["latency_rounds"]) <= stats["rounds"] * 2  # 2 slots
