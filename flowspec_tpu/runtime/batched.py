@@ -103,11 +103,11 @@ class BatchedSpecEngine(SpecEngine):
                     sel = lambda a, b_: jnp.where(
                         jnp.reshape(ok, ok.shape + (1,) * (a.ndim - 1)),
                         a, b_)
-                    # (a lax.cond that skips this select when all lanes are
-                    # in budget failed to compile through the remote TPU
-                    # compiler — UNAVAILABLE after 30min — so the plain
-                    # select stays; it is also what the fixed-batch fused
-                    # loop pays, which still reaches 62.6 tok/s)
+                    # (a lax.cond skipping this select when all lanes are
+                    # in budget was tried and abandoned un-measured — the
+                    # tunneled backend went UNAVAILABLE under it; the plain
+                    # select is also what the fixed-batch fused loop pays,
+                    # which still reaches 62.6 tok/s)
                     st3 = jax.tree_util.tree_map(sel, st2, st)
                     ctx3 = jax.tree_util.tree_map(sel, ctx2, ctx)
                     n_j = jnp.where(ok, res.n_accepted, 0)   # (B,)
