@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
@@ -65,3 +66,27 @@ def tp_mesh(tp: int, devices=None, allow_subset: bool = False) -> Mesh:
         assert len(devices) == tp, (len(devices), tp)
     assert len(devices) >= tp
     return Mesh(np.array(devices[:tp]), ("tp",))
+
+
+def put_global(tree, sharding):
+    """jax.device_put that also works on meshes spanning multiple processes
+    (real multi-host slices and the 2-process dryrun,
+    tools/multihost_dryrun.py): device_put rejects non-addressable
+    shardings, so those go through make_array_from_callback — each process
+    materializes only its own shards from the (identical-per-process) host
+    value, which is exactly the per-host weight-loading pattern on a pod
+    slice."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(tree, sharding)
+
+    def put_one(x):
+        if jnp.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            # typed PRNG keys can't cross numpy; transfer the raw key data
+            # (replicated — keys are never sharded here) and re-wrap
+            impl = jax.random.key_impl(x)
+            data = put_one(jax.random.key_data(x))
+            return jax.random.wrap_key_data(data, impl=impl)
+        xnp = np.asarray(x)
+        return jax.make_array_from_callback(xnp.shape, sharding,
+                                            lambda idx: xnp[idx])
+    return jax.tree_util.tree_map(put_one, tree)

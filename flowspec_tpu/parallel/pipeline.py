@@ -46,6 +46,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flowspec_tpu.config import EngineConfig
+from flowspec_tpu.parallel.mesh import put_global as _put_global
 from flowspec_tpu.draft.beam import (
     BeamState, expand_tree, head_logits, topk_generate,
 )
@@ -99,30 +100,6 @@ class RoundOut(NamedTuple):
     skips: jax.Array        # bubble turns (no chunk completed) — ref
                             # skip_count, stage_ea_model.py:454-455
     ne_fires: jax.Array     # none_expand expansions taken on bubble turns
-
-
-def _put_global(tree, sharding):
-    """jax.device_put that also works on meshes spanning multiple processes
-    (real multi-host slices and the 2-process dryrun,
-    tools/multihost_dryrun.py): device_put rejects non-addressable
-    shardings, so those go through make_array_from_callback — each process
-    materializes only its own shards from the (identical-per-process) host
-    value, which is exactly the per-host weight-loading pattern on a pod
-    slice."""
-    if sharding.is_fully_addressable:
-        return jax.device_put(tree, sharding)
-
-    def put_one(x):
-        if jnp.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
-            # typed PRNG keys can't cross numpy; transfer the raw key data
-            # (replicated — keys are never sharded here) and re-wrap
-            impl = jax.random.key_impl(x)
-            data = put_one(jax.random.key_data(x))
-            return jax.random.wrap_key_data(data, impl=impl)
-        xnp = np.asarray(x)
-        return jax.make_array_from_callback(xnp.shape, sharding,
-                                            lambda idx: xnp[idx])
-    return jax.tree_util.tree_map(put_one, tree)
 
 
 def _right_perm(p):

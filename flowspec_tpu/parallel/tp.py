@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from flowspec_tpu.config import EngineConfig
 from flowspec_tpu.draft.eagle import EagleParams
 from flowspec_tpu.models.kv_cache import KVCache
+from flowspec_tpu.parallel.mesh import put_global
 from flowspec_tpu.models.llama import LlamaParams
 from flowspec_tpu.runtime.engine import SpecEngine
 
@@ -43,7 +44,7 @@ def shard_params_tp(params, mesh: Mesh):
         return _shard_mixtral_tp(params, mesh)
 
     def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_global(x, NamedSharding(mesh, spec))
 
     def put_w(w, kind):
         """kind 'col' shards Out, 'row' shards In — handles quantized
@@ -89,7 +90,7 @@ def _shard_mixtral_tp(params, mesh: Mesh):
     'tp' (expert parallelism — each device holds E/tp experts; the mixture
     combine einsum becomes a psum XLA inserts)."""
     def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_global(x, NamedSharding(mesh, spec))
 
     lp = params.layers
     col = P(None, None, "tp")
@@ -116,7 +117,7 @@ def shard_draft_tp(draft: EagleParams, mesh: Mesh) -> EagleParams:
     from flowspec_tpu.ops.quant import Int4Tensor, Int8Tensor, NF4Tensor
 
     def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_global(x, NamedSharding(mesh, spec))
 
     def put_w(w, kind):
         # 2-D draft weights (In, Out); same quantized-container handling as
@@ -189,7 +190,7 @@ class TPEngine(SpecEngine):
 
     def init_state(self, seed: int = 0):
         state = super().init_state(seed)
-        put = lambda x, spec: jax.device_put(
+        put = lambda x, spec: put_global(
             x, NamedSharding(self.mesh, spec))
         head_sharded = P(None, None, "tp", None, None)
         bc = state.base_cache

@@ -35,6 +35,14 @@ DEVS_PER_PROC = 4
 PORT = int(os.environ.get("MULTIHOST_PORT", "29512"))
 
 
+def dataclasses_replace_topology(cfg, n_stages: int):
+    import dataclasses
+    from flowspec_tpu.config import StageTopology
+    return dataclasses.replace(
+        cfg, topology=StageTopology.even(cfg.model.num_hidden_layers,
+                                         n_stages))
+
+
 def child(pid: int) -> None:
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={DEVS_PER_PROC} "
@@ -95,6 +103,21 @@ def child(pid: int) -> None:
         results[schedule] = {"ok": bool(ok), "turns": stats.get("turns")}
         print(f"[p{pid}] {schedule}: ok={ok} {stats}", flush=True)
         assert ok, (pid, schedule, out, ar, stats)
+
+    # PP x TP across the boundary: a (stage=4, tp=2) mesh — each stage's
+    # tp pair is intra-process, the stage ring crosses processes
+    mesh2 = Mesh(np.array(jax.devices()).reshape(4, 2), ("stage", "tp"))
+    cfg2 = dataclasses_replace_topology(cfg, 4)
+    eng = PipelineEngine(params, draft, cfg2, mesh=mesh2,
+                         schedule="continuous")
+    out, stats = eng.generate_fused(prompt, max_new_tokens=6,
+                                    eos_token_id=-1)
+    ok = (stats["new_tokens"] == 6) and (out == ar)
+    results["continuous_pp_x_tp"] = {"ok": bool(ok),
+                                     "turns": stats.get("turns")}
+    print(f"[p{pid}] continuous (stage=4, tp=2): ok={ok} {stats}",
+          flush=True)
+    assert ok, (pid, "pp_x_tp", out, ar, stats)
     print(f"[p{pid}] MULTIHOST OK {json.dumps(results)}", flush=True)
 
 
@@ -121,7 +144,7 @@ def parent() -> None:
     ok = all(c == 0 for c in codes) and all(oks)
     rec = {"ok": ok, "processes": N_PROCS,
            "devices_per_process": DEVS_PER_PROC,
-           "schedules": ["continuous", "pruned"],
+           "schedules": ["continuous", "pruned", "continuous_pp_x_tp"],
            "collectives": "gloo (cross-process TCP)",
            "wall_s": round(time.perf_counter() - t0, 1)}
     with open(os.path.join(_ROOT, "MULTIHOST_r02.json"), "w") as f:
