@@ -203,8 +203,9 @@ class EngineConfig:
     # int8.md). With buckets, generate_fused starts in the smallest bucket
     # that fits the prompt and migrates (zero-pads) the caches to the next
     # bucket when commit_len approaches the current one; each bucket is a
-    # separately compiled fused loop (cached). None/() = single allocation
-    # at max_seq_len (previous behavior).
+    # separately compiled fused loop (cached). () = single allocation at
+    # max_seq_len. SpecEngine-family engines only (the pipeline engine
+    # keeps one allocation — its KV is stage-sharded state).
     kv_buckets: tuple = ()               # ascending max_seq values
     # SYNTHETIC-ACCEPTANCE BENCH MODE (measurement only): when > 0, the
     # greedy verdict is overridden to accept min(force_accept, deepest

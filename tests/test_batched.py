@@ -111,3 +111,28 @@ def test_serve_per_request_budgets_and_latency():
     assert stats["per_request"] == budgets
     assert all(lr >= 1 for lr in stats["latency_rounds"]), stats
     assert sum(stats["latency_rounds"]) <= stats["rounds"] * 2  # 2 slots
+
+
+def test_serve_stochastic_runs():
+    """Temperature=1 under the fused serve scan: per-lane PRNG keys thread
+    through the while_loop; outputs must be in-vocab and complete."""
+    import dataclasses as dc
+    mc = ModelConfig.tiny(vocab_size=16, n_layers=2)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    tc = TreeConfig(top_k=6, depth=3, total_tokens=16, expand_tokens=12,
+                    expand_depth=2, node_cap=32, leaf_cap=32, depth_cap=10,
+                    chunk_len=8)
+    cfg = EngineConfig(model=mc, tree=tc,
+                       sampling=SamplingConfig(temperature=1.0),
+                       max_seq_len=128, prefill_chunk=16)
+    p = init_llama_params(jax.random.key(0), mc, dtype=jnp.float32)
+    d = init_eagle_params(jax.random.key(9), mc, embed=p.embed,
+                          dtype=jnp.float32)
+    eng = BatchedSpecEngine(p, d, cfg, batch_size=2)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(3, 14, 6 + i).tolist() for i in range(3)]
+    outs, stats = eng.serve(prompts, max_new_tokens=7, eos_token_id=-1)
+    assert stats["per_request"] == [7, 7, 7]
+    for i, (o, pr) in enumerate(zip(outs, prompts)):
+        gen = o[len(pr):]
+        assert len(gen) == 7 and all(0 <= t < 16 for t in gen), (i, gen)
