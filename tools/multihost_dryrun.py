@@ -118,6 +118,25 @@ def child(pid: int) -> None:
     print(f"[p{pid}] continuous (stage=4, tp=2): ok={ok} {stats}",
           flush=True)
     assert ok, (pid, "pp_x_tp", out, ar, stats)
+
+    # galaxy TP across the boundary: sequence-sharded ring all-gather /
+    # reduce-scatter (parallel/galaxy.py) where half the ring hops cross
+    # the process boundary — the reference's flagship TP mode
+    # (tp/tp_modeling_llama.py:611-962), here under real multi-process
+    # collectives
+    from flowspec_tpu.parallel.tp import TPEngine
+    from jax.sharding import Mesh as _Mesh
+    # tp=4 (kv heads must divide tp), straddling the boundary: 2 devices
+    # from each process
+    gx = TPEngine(params, draft, cfg,
+                  mesh=_Mesh(np.array(jax.devices()[2:6]), ("tp",)),
+                  galaxy=True)
+    out, stats = gx.generate(prompt, max_new_tokens=6, eos_token_id=-1)
+    ok = (stats["new_tokens"] == 6) and (out == ar)
+    results["galaxy_tp4"] = {"ok": bool(ok)}
+    print(f"[p{pid}] galaxy tp=4 (cross-process): ok={ok} {stats}",
+          flush=True)
+    assert ok, (pid, "galaxy", out, ar, stats)
     print(f"[p{pid}] MULTIHOST OK {json.dumps(results)}", flush=True)
 
 
@@ -144,7 +163,8 @@ def parent() -> None:
     ok = all(c == 0 for c in codes) and all(oks)
     rec = {"ok": ok, "processes": N_PROCS,
            "devices_per_process": DEVS_PER_PROC,
-           "schedules": ["continuous", "pruned", "continuous_pp_x_tp"],
+           "schedules": ["continuous", "pruned", "continuous_pp_x_tp",
+                         "galaxy_tp4"],
            "collectives": "gloo (cross-process TCP)",
            "wall_s": round(time.perf_counter() - t0, 1)}
     with open(os.path.join(_ROOT, "MULTIHOST_r02.json"), "w") as f:
