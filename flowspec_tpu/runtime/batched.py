@@ -124,7 +124,18 @@ class BatchedSpecEngine(SpecEngine):
                     cond, body,
                     (batched, bctx, accs0, naccs0, emitted0, lane_done0,
                      i0))
-                return st, ctx, accs, naccs, n
+                # pack everything the host reads into ONE buffer: each
+                # fetched leaf costs a device->host round trip (~70ms
+                # through the tunnel), so (accs, naccs, n) as separate
+                # arrays tripled the per-dispatch fetch cost.
+                # packed[j, s, :d_cap] = accepted tokens of round j, slot s
+                # packed[j, s,  d_cap] = n_accepted
+                # packed[k, 0, 0]      = executed round count
+                packed = jnp.concatenate(
+                    [accs, naccs[..., None]], axis=-1)      # (K, B, D+1)
+                tail = jnp.zeros((1, b, d_cap + 1),
+                                 jnp.int32).at[0, 0, 0].set(n)
+                return st, ctx, jnp.concatenate([packed, tail], axis=0)
 
             self._serve_scans[k_rounds] = jax.jit(run_k,
                                                   donate_argnums=(0, 4))
@@ -291,12 +302,13 @@ class BatchedSpecEngine(SpecEngine):
             remaining = jnp.asarray(
                 [budgets[r] - new_tokens[r] if r >= 0 else sentinel
                  for r in slot_req], jnp.int32)
-            batched, bctx, accs, naccs, n_exec = scan_k(
+            batched, bctx, packed = scan_k(
                 batched, self.params, self.draft, self.beam_head, bctx,
                 remaining, jnp.asarray(eos_token_id, jnp.int32))
-            n_exec = int(n_exec)
-            naccs = np.asarray(naccs)            # (K, B)
-            accs = np.asarray(accs)              # (K, B, depth_cap)
+            packed = np.asarray(packed)          # ONE device->host fetch
+            n_exec = int(packed[-1, 0, 0])
+            accs = packed[:-1, :, :-1]           # (K, B, depth_cap)
+            naccs = packed[:-1, :, -1]           # (K, B)
             refill = [False] * b
             for s in range(b):
                 r = slot_req[s]
