@@ -143,7 +143,9 @@ class BatchedSpecEngine(SpecEngine):
 
     def _get_vloop(self, max_out: int):
         """max_out is static to the loop body, so each budget gets its own
-        jitted vmapped program (cached)."""
+        jitted vmapped program (cached). The token budget is per-lane
+        (in_axes 0) so bucketed segments can resume each lane with its own
+        remaining count."""
         if max_out not in self._vloops:
             cfg = self.cfg
             f = functools.partial(
@@ -151,8 +153,7 @@ class BatchedSpecEngine(SpecEngine):
                 sampling=cfg.sampling, max_out=max_out,
                 force_accept=cfg.force_accept)
             self._vloops[max_out] = jax.jit(
-                jax.vmap(f, in_axes=(0, None, None, None, None, None,
-                                     None)))
+                jax.vmap(f, in_axes=(0, None, None, None, None, 0, None)))
         return self._vloops[max_out]
 
     # ------------------------------------------------------------------
@@ -163,8 +164,8 @@ class BatchedSpecEngine(SpecEngine):
         return jax.tree_util.tree_map(
             lambda bx, x: bx.at[b].set(x), batched, state)
 
-    def _prefill_one(self, prompt, seed):
-        st = self.init_state(seed)
+    def _prefill_one(self, prompt, seed, max_seq=None):
+        st = self.init_state(seed, max_seq=max_seq)
         return self.prefill(st, prompt)
 
     # ------------------------------------------------------------------
@@ -206,32 +207,62 @@ class BatchedSpecEngine(SpecEngine):
     def generate_batch_fused(self, prompts: Sequence, max_new_tokens=None,
                              eos_token_id: int = 2, seed: int = 0):
         """All requests decoded in ONE device program (vmapped multi-round
-        while_loop); finished lanes idle until the slowest request is done."""
+        while_loop); finished lanes idle until the slowest request is done.
+
+        With cfg.kv_buckets set, the batch decodes as a chain of fused
+        segments like SpecEngine.generate_fused: all lanes' caches start
+        in the smallest bucket that fits the longest prompt and migrate
+        together when any lane's commit_len approaches the bucket budget
+        (lane commit lengths stay within depth_cap+1 of each other per
+        round, so a shared bucket schedule costs no lane anything)."""
         import jax.numpy as jnp
         max_new = max_new_tokens or self.cfg.max_new_tokens
-        states = [self._prefill_one(p, seed + i)
+        b = len(prompts)
+        for p in prompts:
+            self._check_budget(p, max_new)
+        p_max = max(len(np.asarray(p).reshape(-1)) for p in prompts)
+        buckets = self._plan_buckets(p_max, max_new)
+        states = [self._prefill_one(p, seed + i, max_seq=buckets[0])
                   for i, p in enumerate(prompts)]
         batched = self._stack_states(states)
-        out_buf, n_out, rounds, _, _ = self._get_vloop(int(max_new))(
-            batched, self.params, self.draft, self.beam_head,
-            jnp.asarray(eos_token_id, jnp.int32),
-            jnp.asarray(max_new, jnp.int32),
-            jnp.asarray(self.cfg.max_seq_len, jnp.int32))
-        outs = []
-        new_tokens = []
-        for i, p in enumerate(prompts):
-            out = list(np.asarray(p, np.int64))
-            n = 0
-            for t in np.asarray(out_buf[i])[:int(n_out[i])]:
-                out.append(int(t))
-                n += 1
-                if int(t) == eos_token_id or n >= max_new:
-                    break
-            outs.append(out)
-            new_tokens.append(n)
+
+        outs = [list(np.asarray(p, np.int64)) for p in prompts]
+        new_tokens = [0] * b
+        lane_done = [False] * b
+        rounds = 0
+        for bi, seq in enumerate(buckets):
+            if bi:
+                from flowspec_tpu.runtime.engine import _grow_kv
+                batched = _grow_kv(batched, *self._kv_rows(seq))
+            # an eos'd lane gets budget 0: its loop cond fails immediately
+            # and the gate select freezes its state for the whole segment
+            remaining = jnp.asarray(
+                [0 if lane_done[i] else max_new - new_tokens[i]
+                 for i in range(b)], jnp.int32)
+            out_buf, n_out, rnds, done, batched = self._get_vloop(
+                int(max_new))(
+                batched, self.params, self.draft, self.beam_head,
+                jnp.asarray(eos_token_id, jnp.int32), remaining,
+                jnp.asarray(seq, jnp.int32))
+            rounds += int(np.max(np.asarray(rnds)))
+            done = np.asarray(done)
+            for i in range(b):
+                if lane_done[i]:
+                    continue
+                for t in np.asarray(out_buf[i])[:int(n_out[i])]:
+                    outs[i].append(int(t))
+                    new_tokens[i] += 1
+                    if int(t) == eos_token_id or new_tokens[i] >= max_new:
+                        lane_done[i] = True
+                        break
+                lane_done[i] = lane_done[i] or bool(done[i])
+            if all(d or nt >= max_new
+                   for d, nt in zip(lane_done, new_tokens)):
+                break
         total = sum(new_tokens)
-        return outs, {"new_tokens": total, "rounds": int(np.max(rounds)),
-                      "per_request": new_tokens}
+        return outs, {"new_tokens": total, "rounds": rounds,
+                      "per_request": new_tokens,
+                      "kv_buckets_used": bi + 1}
 
     # ------------------------------------------------------------------
     def _serve_ctx(self, prompt=None):

@@ -726,11 +726,13 @@ def _spec_round(state: EngineState, params: LlamaParams, draft: EagleParams,
 def _grow_kv(state: EngineState, draft_rows: int,
              base_rows: int) -> EngineState:
     """Migrate a request's KV caches to a larger bucket by zero-padding the
-    seq axis; lengths and all other state carry over unchanged. One
-    liveness copy per migration — amortized over the whole next segment."""
+    seq axis (axis -2 — works on single (L,B,H,S,D) and batch-stacked
+    (B,L,1,H,S,D) states alike); lengths and all other state carry over
+    unchanged. One liveness copy per migration — amortized over the whole
+    next segment."""
     def pad(c: KVCache, rows: int) -> KVCache:
-        p = rows - c.k.shape[3]
-        w = ((0, 0), (0, 0), (0, 0), (0, p), (0, 0))
+        p = rows - c.k.shape[-2]
+        w = ((0, 0),) * (c.k.ndim - 2) + ((0, p), (0, 0))
         return KVCache(k=jnp.pad(c.k, w), v=jnp.pad(c.v, w),
                        length=c.length)
     return dataclasses.replace(

@@ -136,3 +136,25 @@ def test_serve_stochastic_runs():
     for i, (o, pr) in enumerate(zip(outs, prompts)):
         gen = o[len(pr):]
         assert len(gen) == 7 and all(0 <= t < 16 for t in gen), (i, gen)
+
+
+def test_batch_fused_kv_bucket_growth_lossless():
+    """Bucketed batch decoding: all lanes' caches migrate together between
+    buckets; every lane's stream still equals its solo AR run and multiple
+    buckets engage."""
+    import dataclasses as dc
+    eng = _setup(batch_size=3)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(3, 14, 6 + 2 * i).tolist() for i in range(3)]
+    refs = [eng.generate_ar(p, max_new_tokens=20, eos_token_id=-1)[0]
+            for p in prompts]
+
+    engb = BatchedSpecEngine(eng.params, eng.draft,
+                             dc.replace(eng.cfg, kv_buckets=(16, 32)),
+                             batch_size=3)
+    outs, stats = engb.generate_batch_fused(prompts, max_new_tokens=20,
+                                            eos_token_id=-1)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert o == r, (i, o, r)
+    assert stats["per_request"] == [20, 20, 20]
+    assert stats["kv_buckets_used"] >= 2, stats
