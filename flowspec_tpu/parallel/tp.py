@@ -188,8 +188,8 @@ class TPEngine(SpecEngine):
             fwd = make_galaxy_forward(mesh)
         super().__init__(params, draft, cfg, forward_fn=fwd)
 
-    def init_state(self, seed: int = 0):
-        state = super().init_state(seed)
+    def init_state(self, seed: int = 0, max_seq: int = None):
+        state = super().init_state(seed, max_seq=max_seq)
         put = lambda x, spec: put_global(
             x, NamedSharding(self.mesh, spec))
         head_sharded = P(None, None, "tp", None, None)

@@ -105,3 +105,15 @@ def test_pipeline_pp_x_tp_lossless():
     assert shard.shape == (8 // 4, 64, 64 // 2), shard.shape
     out, stats = eng.generate(prompt, max_new_tokens=10, eos_token_id=-1)
     assert out == ar, stats
+
+
+def test_llama_tp_fused_loop_lossless(setup):
+    """TPEngine through the fused multi-round decode loop (the path the
+    eval harness uses) — caught a regression where TPEngine.init_state
+    didn't accept the bucket-aware max_seq kwarg."""
+    cfg, p, d, prompt, ar = setup
+    eng = TPEngine(p, d, cfg, mesh=tp_mesh(2))
+    out, stats = eng.generate_fused(prompt, max_new_tokens=24,
+                                    eos_token_id=-1)
+    assert out == ar, stats
+    assert stats["new_tokens"] == 24
