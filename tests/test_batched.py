@@ -158,3 +158,23 @@ def test_batch_fused_kv_bucket_growth_lossless():
         assert o == r, (i, o, r)
     assert stats["per_request"] == [20, 20, 20]
     assert stats["kv_buckets_used"] >= 2, stats
+
+
+def test_serve_force_accept_multi_token_commits():
+    """Synthetic acceptance under serve: multi-token commits flow through
+    the slot bookkeeping (budget trims mid-round, refills still exact)."""
+    import dataclasses as dc
+    eng = _setup(batch_size=2)
+    engf = BatchedSpecEngine(eng.params, eng.draft,
+                             dc.replace(eng.cfg, force_accept=2),
+                             batch_size=2)
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(3, 14, 6 + i).tolist() for i in range(4)]
+    outs, stats = engf.serve(prompts, max_new_tokens=7, eos_token_id=-1)
+    assert stats["per_request"] == [7] * 4
+    for o, pr in zip(outs, prompts):
+        assert len(o) == len(pr) + 7
+    # 3 commits/round: ~3 decode rounds + 1-2 prompt-chain rounds per
+    # request, 2 slots, 4 requests — far fewer than the 14 rounds the
+    # acceptance-1 path needs
+    assert stats["rounds"] <= 12, stats
