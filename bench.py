@@ -183,6 +183,10 @@ def main():
     temp = float(os.environ.get("BENCH_TEMP", "0"))
 
     import jax
+    if os.environ.get("BENCH_CPU"):
+        # the container's sitecustomize overrides JAX_PLATFORMS via
+        # jax.config, so CPU smoke runs need an explicit override
+        jax.config.update("jax_platforms", "cpu")
     # persistent compilation cache: the fused decode loop takes minutes to
     # compile at 7B; cache hits make repeat runs start in seconds
     jax.config.update("jax_compilation_cache_dir",

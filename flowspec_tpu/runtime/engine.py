@@ -254,7 +254,7 @@ class SpecEngine:
                     _spec_decode_loop, cfg=mc, tree_cfg=tc,
                     sampling=cfg.sampling, max_out=max_out, fwd=fwd,
                     gate_lanes=False, force_accept=cfg.force_accept),
-                    **_shard(None, "p", "d", None, None, None))
+                    **_shard(None, "p", "d", None, None, None, None))
             return self._spec_loops[max_out](*args)
 
         def _ar_loop(*args, max_out):

@@ -201,3 +201,28 @@ def test_force_accept_bench_mode():
     # beam depth is 4 in this config, so paths of >= 4 nodes exist
     assert stats["accept_per_round"] >= 2.5, stats
     assert stats["rounds"] < ref_stats["rounds"], (stats, ref_stats)
+
+
+def test_formats_pinned_engine_lossless():
+    """SpecEngine(formats=...) — the AOT layout-negotiated bf16 path bench
+    uses for unquantized 7B — must decode losslessly through the fused
+    loop. Regression: the in_shardings pin tuples must track the loop's
+    argument count (adding commit_cap broke them)."""
+    import bench as benchmod
+    from flowspec_tpu.config import (
+        EngineConfig as EC, ModelConfig as MC, SamplingConfig as SC,
+        TreeConfig as TC,
+    )
+    mc = MC.tiny(vocab_size=32, n_layers=2)
+    tc = TC(top_k=8, depth=4, total_tokens=24, expand_tokens=16,
+            expand_depth=2, node_cap=48, leaf_cap=48, depth_cap=12,
+            chunk_len=8)
+    cfg = EC(model=mc, tree=tc, sampling=SC(temperature=0.0),
+             max_new_tokens=24, max_seq_len=256, prefill_chunk=16)
+    params, draft, formats = benchmod.build_into_formats(mc, cfg)
+    eng = SpecEngine(params, draft, cfg, formats=formats)
+    ar, _ = eng.generate_ar([5, 9, 3, 7, 4, 8, 6], max_new_tokens=16,
+                            eos_token_id=-1)
+    out, stats = eng.generate_fused([5, 9, 3, 7, 4, 8, 6],
+                                    max_new_tokens=16, eos_token_id=-1)
+    assert out == ar, stats
