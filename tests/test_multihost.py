@@ -15,7 +15,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_two_process_pipeline_lossless():
-    env = {**os.environ, "MULTIHOST_PORT": "29731"}
+    env = {**os.environ, "MULTIHOST_PORT": "29731",
+           "MULTIHOST_NO_RECORD": "1"}   # keep the committed record stable
     # the children manage their own XLA_FLAGS / platform config
     env.pop("XLA_FLAGS", None)
     r = subprocess.run(
