@@ -17,9 +17,8 @@ Two APIs:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
