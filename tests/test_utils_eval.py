@@ -106,3 +106,22 @@ def test_sweep_cli(tmp_path):
     assert all(r["new_tokens"] == 8 for r in rows)
     disk = [json.loads(l) for l in out.read_text().splitlines()]
     assert disk == rows
+
+
+def test_show_timestamps_renders(tmp_path, capsys):
+    """The timestamp-stream timeline CLI (ref records/show_timestamps.ipynb)
+    renders a saved profiler record with per-event deltas and a gap list."""
+    import sys
+    sys.path.insert(0, "tools")
+    from flowspec_tpu.utils.profiler import Profiler
+    import show_timestamps
+
+    p = Profiler(sync=False)
+    p.mark("prefill")
+    p.mark("turn0")
+    p.mark("turn1")
+    rec = tmp_path / "r.json"
+    p.save(str(rec))
+    show_timestamps.main([str(rec), "--top", "2"])
+    out = capsys.readouterr().out
+    assert "turn0" in out and "top 2 gaps" in out
