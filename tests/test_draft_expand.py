@@ -98,3 +98,56 @@ def test_expand_scores_consistent():
         par = np.asarray(t.parents)[:n]
         for i in range(1, n):
             assert sc[i] <= sc[par[i]] + 1e-5
+
+
+def test_beam_hidden_is_a_pure_path_function():
+    """A beam node's draft-output hidden depends only on its root->node
+    token path (the K-wide masked beam forward equals a 1-wide sequential
+    chain recompute). This is the property that makes persisting per-node
+    draft hiddens across pipedec turns EXACTLY equivalent to the
+    reference's per-turn re-embedding of the pruned tree
+    (eagle/cnets.py:1711-1957) — re-embedding recomputes the same function
+    of the same path."""
+    mc = ModelConfig.tiny(vocab_size=64, n_layers=1)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    tc = TreeConfig(top_k=6, depth=3, total_tokens=16, expand_tokens=12,
+                    expand_depth=2, node_cap=64, leaf_cap=48, depth_cap=12,
+                    chunk_len=8)
+    params = init_llama_params(jax.random.key(2), mc, dtype=jnp.float32)
+    draft = init_eagle_params(jax.random.key(3), mc, embed=params.embed,
+                              dtype=jnp.float32)
+    max_levels = tc.depth + tc.expand_depth
+    cache = init_kv_cache(1, 1, mc.num_key_value_heads,
+                          128 + max_levels * tc.top_k, mc.head_dim_,
+                          jnp.float32)
+    rng = np.random.default_rng(4)
+    ctx_t = jnp.asarray(rng.integers(0, 64, 8), jnp.int32)
+    ctx_h = jnp.asarray(rng.normal(size=(1, 8, mc.hidden_size)), jnp.float32)
+    out, cache0 = draft_context_forward(draft, cache, ctx_t, ctx_h,
+                                        jnp.asarray(0), jnp.asarray(8), mc)
+    root_hidden = out[0, 7]
+    root = jnp.asarray(5, jnp.int32)
+
+    tree, st, _ = topk_generate(draft, params.lm_head, cache0, root,
+                                root_hidden, tc, mc)
+
+    par = np.asarray(st.cand_parents)
+    toks = np.asarray(st.cand_tokens)
+    for row in range(3):
+        # st.hidden[row] is the draft output of frontier node `row`'s PARENT
+        node = int(par[int(np.asarray(st.flat_ids)[row])])
+        chain = []
+        while node >= 0:
+            chain.append(int(toks[node]))
+            node = int(par[node])
+        chain = chain[::-1]
+        assert len(chain) == tc.depth, chain
+        h, c = root_hidden, cache0
+        for tok in chain:
+            o, c = draft_context_forward(
+                draft, c, jnp.asarray([tok], jnp.int32), h[None, None, :],
+                c.length, jnp.asarray(1), mc)
+            h = o[0, 0]
+        np.testing.assert_allclose(np.asarray(h),
+                                   np.asarray(st.hidden[row]),
+                                   rtol=2e-3, atol=2e-3)
