@@ -117,3 +117,27 @@ def test_llama_tp_fused_loop_lossless(setup):
                                     eos_token_id=-1)
     assert out == ar, stats
     assert stats["new_tokens"] == 24
+
+
+def test_tp_sharded_continuous_serving(setup):
+    """TP x continuous batching: megatron-sharded weights flow through the
+    vmapped serve scan via GSPMD auto-propagation (no engine changes) —
+    every request's stream still equals the unsharded serve output. The
+    reference has neither TP verification with batching nor serving at
+    all (batch=1 asserted, eagle/kv_cache.py:91)."""
+    from flowspec_tpu.runtime.batched import BatchedSpecEngine
+    from flowspec_tpu.parallel.tp import shard_draft_tp, shard_params_tp
+
+    cfg, p, d, prompt, ar = setup
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(3, 60, 6 + i).tolist() for i in range(4)]
+    ref_eng = BatchedSpecEngine(p, d, cfg, batch_size=2)
+    refs, _ = ref_eng.serve(prompts, max_new_tokens=8, eos_token_id=-1)
+
+    mesh = tp_mesh(2)
+    eng = BatchedSpecEngine(shard_params_tp(p, mesh),
+                            shard_draft_tp(d, mesh), cfg, batch_size=2)
+    outs, stats = eng.serve(prompts, max_new_tokens=8, eos_token_id=-1)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert o == r, (i, o, r)
+    assert stats["per_request"] == [8] * 4
