@@ -240,3 +240,35 @@ def test_mixtral_pp_x_tp():
     assert shard.shape == (1, 2, 64, 96), shard.shape
     out, _ = pe.generate(prompt, max_new_tokens=12, eos_token_id=-1)
     assert out == ar
+
+
+def test_mixtral_continuous_serving():
+    """MoE + continuous batching: the serve dispatch program routes through
+    mixtral_forward per lane (model_forward dispatches on the param
+    family); every request's stream equals its solo AR run. Another
+    composition the reference cannot express (batch=1 asserted,
+    eagle/kv_cache.py:91)."""
+    from flowspec_tpu.runtime.batched import BatchedSpecEngine
+
+    cfg = ModelConfig(vocab_size=32, hidden_size=64, intermediate_size=96,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, num_local_experts=4,
+                      num_experts_per_tok=2, max_position_embeddings=512,
+                      dtype="float32")
+    tc = TreeConfig(top_k=6, depth=3, total_tokens=16, expand_tokens=12,
+                    expand_depth=2, node_cap=32, leaf_cap=32, depth_cap=10,
+                    chunk_len=8)
+    ecfg = EngineConfig(model=cfg, tree=tc, sampling=SamplingConfig(),
+                        max_seq_len=128, prefill_chunk=16)
+    params = init_mixtral_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    draft = init_eagle_params(jax.random.key(9), cfg, embed=params.embed,
+                              dtype=jnp.float32)
+    eng = BatchedSpecEngine(params, draft, ecfg, batch_size=2)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(3, 30, 6 + i).tolist() for i in range(3)]
+    refs = [eng.generate_ar(p, max_new_tokens=8, eos_token_id=-1)[0]
+            for p in prompts]
+    outs, stats = eng.serve(prompts, max_new_tokens=8, eos_token_id=-1)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert o == r, (i, o, r)
+    assert stats["per_request"] == [8, 8, 8]
