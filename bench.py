@@ -260,7 +260,9 @@ def main():
         # `batch` slots; finished slots refill mid-flight (prompt chunks ride
         # the same rounds as the other slots' decode — no stall)
         prompts = [rng0.integers(10, 1000, 64) for _ in range(2 * batch)]
-        serve_k = int(os.environ.get("BENCH_SERVE_K", "8"))
+        # with device-side refill the dispatch bound only sets admission
+        # granularity; the loop's trip count is dynamic, so big K is free
+        serve_k = int(os.environ.get("BENCH_SERVE_K", "256"))
         gen = lambda p_, **kw: eng.serve(prompts,
                                          rounds_per_dispatch=serve_k, **kw)
     elif batch > 1:

@@ -26,9 +26,10 @@ import numpy as np
 
 from flowspec_tpu.config import EngineConfig
 from flowspec_tpu.draft.eagle import EagleParams
+from flowspec_tpu.models.kv_cache import KVCache
 from flowspec_tpu.models.llama import LlamaParams
 from flowspec_tpu.runtime.engine import (
-    ServeCtx, SpecEngine, _spec_decode_loop, _spec_round,
+    EngineState, ServeCtx, SpecEngine, _spec_decode_loop, _spec_round,
 )
 
 
@@ -51,17 +52,26 @@ class BatchedSpecEngine(SpecEngine):
         self._serve_scans = {}
 
     def _get_serve_scan(self, k_rounds: int):
-        """Up to K serve-rounds fused into one device program: the host
-        dispatches once per K rounds instead of once per round, amortizing
-        the per-call dispatch RTT (~70ms through the tunneled backend — at
-        ~30ms rounds, K=1 serve ran at ~30% of device throughput). The
-        while_loop exits EARLY the moment any lane completes its request
-        (budget reached or eos emitted), so a freed slot is refilled at the
-        very next dispatch and never idles — the round-level refill
-        semantics (and slot utilization) of the K=1 loop are preserved
-        exactly. Lanes whose commit_len is out of budget-headroom are
-        frozen (old state selected back) so garbage rounds past a finished
-        request can never clamp-write over valid KV rows."""
+        """Up to K serve-rounds fused into one device program with
+        DEVICE-SIDE slot refill: the full request queue (prompts, lengths,
+        budgets) lives on device, and the round body itself detects a lane
+        finishing (budget reached or eos emitted), resets that lane's
+        engine state in-program and loads the next queued request into its
+        ServeCtx — the refill lands on the very next round, and the
+        dispatch never has to exit early to let the host repopulate a slot.
+
+        This removes the two costs of the host-refill design: (a) the
+        early exit that cut a dispatch short on every request completion
+        (one extra ~70ms tunnel RTT per finish), and (b) the hard ceiling
+        rounds_per_dispatch put on RTT amortization (the while_loop's trip
+        count is dynamic, so K can be an entire workload). The host only
+        unpacks token rows; its per-request accounting mirrors the
+        device's exactly (same budget/eos rules), so outputs stay
+        bit-identical to the solo runs.
+
+        Lanes whose commit_len is out of budget-headroom are frozen (old
+        state selected back) so garbage rounds past a finished request can
+        never clamp-write over valid KV rows."""
         if k_rounds not in self._serve_scans:
             cfg = self.cfg
             vround = jax.vmap(
@@ -72,72 +82,110 @@ class BatchedSpecEngine(SpecEngine):
             seq_limit = cfg.max_seq_len - cfg.tree.depth_cap - 1
             d_cap = cfg.tree.depth_cap
             k = k_rounds
+            big = jnp.int32(2 ** 30)
 
-            def run_k(batched, params, draft, beam_head, bctx, remaining,
-                      eos_id):
-                """remaining: (B,) tokens left per slot (inactive lanes pass
-                a sentinel that can't be reached). Returns the executed
-                round count `n` and the per-round token rows [:n]."""
-                b = remaining.shape[0]
-                accs0 = jnp.zeros((k, b, d_cap), jnp.int32)
-                naccs0 = jnp.zeros((k, b), jnp.int32)
-                emitted0 = jnp.zeros((b,), jnp.int32)
-                lane_done0 = jnp.zeros((b,), bool)
+            def run_k(batched, params, draft, beam_head, bctx,
+                      lane_req, emitted, lane_budget, qhead,
+                      q_prompts, q_lens, q_budgets, n_q, eos_id, seed):
+                """lane_req: (B,) request id per slot (-1 idle); qhead: ()
+                next queue index. q_* are the FULL (padded) request queue.
+                Returns the carried lane arrays plus one packed buffer:
+                packed[j, s, :d_cap]  = accepted tokens of round j, slot s
+                packed[j, s,  d_cap]  = n_accepted
+                packed[j, s,  d_cap+1]= request id the slot served
+                packed[k, 0, 0]       = executed round count."""
+                b = lane_req.shape[0]
+                n_pad = q_prompts.shape[0]
+                accs0 = jnp.zeros((k, b, d_cap + 2), jnp.int32)
                 i0 = jnp.zeros((), jnp.int32)
 
                 def cond(c):
-                    st, ctx, accs, naccs, emitted, lane_done, i = c
-                    return (i < k) & ~jnp.any(lane_done)
-
-                # lanes with no live request pass a sentinel budget; their
-                # garbage tokens must not trip the early exit (an empty
-                # tail-wave slot would otherwise force K=1 dispatches)
-                lane_live = remaining < jnp.int32(2 ** 30)
+                    st, ctx, req, em, bud, qh, accs, i = c
+                    return (i < k) & jnp.any(ctx.active)
 
                 def body(c):
-                    st, ctx, accs, naccs, emitted, lane_done, i = c
+                    st, ctx, req, em, bud, qh, accs, i = c
                     ok = st.commit_len <= seq_limit          # (B,)
                     st2, res, ctx2 = vround(st, params, draft, beam_head,
                                             ctx)
                     sel = lambda a, b_: jnp.where(
                         jnp.reshape(ok, ok.shape + (1,) * (a.ndim - 1)),
                         a, b_)
-                    # (a lax.cond skipping this select when all lanes are
-                    # in budget was tried and abandoned un-measured — the
-                    # tunneled backend went UNAVAILABLE under it; the plain
-                    # select is also what the fixed-batch fused loop pays,
-                    # which still reaches 62.6 tok/s)
                     st3 = jax.tree_util.tree_map(sel, st2, st)
                     ctx3 = jax.tree_util.tree_map(sel, ctx2, ctx)
                     n_j = jnp.where(ok, res.n_accepted, 0)   # (B,)
                     valid = jnp.arange(d_cap)[None, :] < n_j[:, None]
-                    eos_hit = lane_live & jnp.any(
+                    eos_hit = jnp.any(
                         valid & (res.accepted == eos_id) & (eos_id >= 0),
                         axis=1)
-                    emitted2 = emitted + n_j
-                    done2 = lane_done | eos_hit | (emitted2 >= remaining)
-                    return (st3, ctx3, accs.at[i].set(res.accepted),
-                            naccs.at[i].set(n_j), emitted2, done2, i + 1)
+                    em2 = em + n_j
+                    fin = (req >= 0) & (eos_hit | (em2 >= bud))
 
-                st, ctx, accs, naccs, _, _, n = jax.lax.while_loop(
+                    # record BEFORE refill: this round's tokens belong to
+                    # the finishing request
+                    row = jnp.concatenate(
+                        [res.accepted, n_j[:, None], req[:, None]], axis=1)
+                    accs2 = accs.at[i].set(row)
+
+                    # ---- device-side refill ------------------------------
+                    qidx = qh + jnp.cumsum(fin.astype(jnp.int32)) - 1
+                    has = fin & (qidx < n_q)
+                    qsafe = jnp.clip(qidx, 0, n_pad - 1)
+                    req2 = jnp.where(fin, jnp.where(has, qidx, -1), req)
+                    em3 = jnp.where(fin, 0, em2)
+                    bud2 = jnp.where(fin,
+                                     jnp.where(has, q_budgets[qsafe], big),
+                                     bud)
+                    qh2 = qh + jnp.sum(has.astype(jnp.int32))
+                    ctx4 = ServeCtx(
+                        prompt_buf=jnp.where(fin[:, None],
+                                             q_prompts[qsafe],
+                                             ctx3.prompt_buf),
+                        prompt_len=jnp.where(fin, q_lens[qsafe],
+                                             ctx3.prompt_len),
+                        prompt_pos=jnp.where(fin, 0, ctx3.prompt_pos),
+                        active=jnp.where(fin, has, ctx3.active))
+                    # reset the finishing lanes' engine state: scalars and
+                    # pending buffers to zero, fresh per-request PRNG key;
+                    # KV payloads stay (rows past commit_len are masked),
+                    # only their lengths reset
+                    z = lambda a: jnp.where(
+                        jnp.reshape(fin, fin.shape + (1,) * (a.ndim - 1)),
+                        jnp.zeros_like(a), a)
+                    kd = jax.random.key_data(st3.key)
+                    fresh = jax.vmap(
+                        lambda r: jax.random.key_data(
+                            jax.random.key(seed + jnp.maximum(r, 0))))(req2)
+                    key2 = jax.random.wrap_key_data(
+                        jnp.where(fin[:, None], fresh, kd),
+                        impl=jax.random.key_impl(st3.key))
+                    st4 = EngineState(
+                        base_cache=KVCache(k=st3.base_cache.k,
+                                           v=st3.base_cache.v,
+                                           length=z(st3.base_cache.length)),
+                        draft_cache=KVCache(
+                            k=st3.draft_cache.k, v=st3.draft_cache.v,
+                            length=z(st3.draft_cache.length)),
+                        commit_len=z(st3.commit_len),
+                        root_token=z(st3.root_token),
+                        pending_tokens=z(st3.pending_tokens),
+                        pending_hidden=z(st3.pending_hidden),
+                        n_pending=z(st3.n_pending),
+                        root_hidden=z(st3.root_hidden),
+                        key=key2)
+                    return st4, ctx4, req2, em3, bud2, qh2, accs2, i + 1
+
+                st, ctx, req, em, bud, qh, accs, n = jax.lax.while_loop(
                     cond, body,
-                    (batched, bctx, accs0, naccs0, emitted0, lane_done0,
-                     i0))
-                # pack everything the host reads into ONE buffer: each
-                # fetched leaf costs a device->host round trip (~70ms
-                # through the tunnel), so (accs, naccs, n) as separate
-                # arrays tripled the per-dispatch fetch cost.
-                # packed[j, s, :d_cap] = accepted tokens of round j, slot s
-                # packed[j, s,  d_cap] = n_accepted
-                # packed[k, 0, 0]      = executed round count
-                packed = jnp.concatenate(
-                    [accs, naccs[..., None]], axis=-1)      # (K, B, D+1)
-                tail = jnp.zeros((1, b, d_cap + 1),
+                    (batched, bctx, lane_req, emitted, lane_budget, qhead,
+                     accs0, i0))
+                tail = jnp.zeros((1, b, d_cap + 2),
                                  jnp.int32).at[0, 0, 0].set(n)
-                return st, ctx, jnp.concatenate([packed, tail], axis=0)
+                packed = jnp.concatenate([accs, tail], axis=0)
+                return st, ctx, req, em, bud, qh, packed
 
-            self._serve_scans[k_rounds] = jax.jit(run_k,
-                                                  donate_argnums=(0, 4))
+            self._serve_scans[k_rounds] = jax.jit(
+                run_k, donate_argnums=(0, 4, 5, 6, 7, 8))
         return self._serve_scans[k_rounds]
 
     def _get_vloop(self, max_out: int):
@@ -280,19 +328,22 @@ class BatchedSpecEngine(SpecEngine):
 
     def serve(self, prompts: Sequence, max_new_tokens=None,
               eos_token_id: int = 2, seed: int = 0,
-              rounds_per_dispatch: int = 8):
+              rounds_per_dispatch: int = 256):
         """TOKEN-LEVEL continuous batching: up to `batch_size` slots run
         synchronized rounds; a slot whose request finishes is refilled from
-        the queue and spends its next rounds consuming prompt-chain chunks
-        (emitting nothing) while the other slots keep decoding — a refill
-        never stalls the batch (the reference cannot serve at all: batch
-        size 1 is asserted at eagle/kv_cache.py:91). Returns outputs in
-        `prompts` order plus utilization stats.
+        the device-resident queue IN-PROGRAM (see _get_serve_scan) and
+        spends its next rounds consuming prompt-chain chunks (emitting
+        nothing) while the other slots keep decoding — a refill never
+        stalls the batch and never costs a dispatch (the reference cannot
+        serve at all: batch size 1 is asserted at eagle/kv_cache.py:91).
+        Returns outputs in `prompts` order plus utilization stats.
 
-        Up to `rounds_per_dispatch` rounds run fused in one device program
-        per host dispatch (the device loop exits early when any lane
-        finishes, so refills still land on the exact finishing round);
-        dispatch overhead drops to ~1/K without losing slot utilization.
+        `rounds_per_dispatch` bounds how many rounds one device program may
+        run before control returns to the host — the admission-latency
+        granularity for workloads where new requests arrive over time. With
+        device-side refill the loop's trip count is dynamic, so large K
+        costs only a (K, B, depth_cap+2) int32 token buffer; the default
+        256 runs typical workloads in a handful of dispatches.
 
         `max_new_tokens` may be a single budget or one per request."""
         n_req = len(prompts)
@@ -308,45 +359,70 @@ class BatchedSpecEngine(SpecEngine):
         for p, mx in zip(prompts, budgets):
             self._check_budget(p, mx)
         scan_k = self._get_serve_scan(k)
-        queue = list(range(n_req))
         outs: List[list] = [list(np.asarray(p, np.int64)) for p in prompts]
         new_tokens = [0] * n_req
         finished = [False] * n_req
         admit_round = [0] * n_req    # round index when the slot was filled
         finish_round = [0] * n_req
 
-        slot_req = [-1] * b          # which request occupies each slot
+        # device-resident request queue, padded to a size bucket so queue
+        # length changes don't recompile the program
+        p_cap = self.cfg.max_seq_len
+        n_pad = max(8, 1 << (n_req - 1).bit_length())
+        q_prompts = np.zeros((n_pad, p_cap), np.int32)
+        q_lens = np.zeros((n_pad,), np.int32)
+        q_budgets = np.zeros((n_pad,), np.int32)
+        for r, (p, mx) in enumerate(zip(prompts, budgets)):
+            pr = np.asarray(p, np.int32).reshape(-1)
+            q_prompts[r, :len(pr)] = pr
+            q_lens[r] = len(pr)
+            q_budgets[r] = mx
+        q_prompts = jnp.asarray(q_prompts)
+        q_lens = jnp.asarray(q_lens)
+        q_budgets = jnp.asarray(q_budgets)
+
+        # initial fill: slots 0..b-1 take requests 0..b-1 on host (the
+        # device path only refills on completion)
+        slot_req = [s if s < n_req else -1 for s in range(b)]
         states, ctxs = [], []
         for s in range(b):
-            r = queue.pop(0) if queue else -1
-            slot_req[s] = r
+            r = slot_req[s]
             states.append(self.init_state(seed + (r if r >= 0 else 1000 + s)))
             ctxs.append(self._serve_ctx(prompts[r] if r >= 0 else None))
         batched = self._stack_states(states)
         bctx = self._stack_states(ctxs)
+        lane_req = jnp.asarray(slot_req, jnp.int32)
+        emitted = jnp.zeros((b,), jnp.int32)
+        lane_budget = jnp.asarray(
+            [budgets[r] if r >= 0 else 2 ** 30 for r in slot_req], jnp.int32)
+        qhead = jnp.asarray(min(b, n_req), jnp.int32)
 
         rounds = 0
         busy_slot_rounds = 0
-        sentinel = np.int32(2**30)   # inactive lanes can never reach it
-        while any(r >= 0 for r in slot_req):
-            remaining = jnp.asarray(
-                [budgets[r] - new_tokens[r] if r >= 0 else sentinel
-                 for r in slot_req], jnp.int32)
-            batched, bctx, packed = scan_k(
+        first_seen = [0 if r < min(b, n_req) else -1 for r in range(n_req)]
+        while not all(finished):
+            (batched, bctx, lane_req, emitted, lane_budget, qhead,
+             packed) = scan_k(
                 batched, self.params, self.draft, self.beam_head, bctx,
-                remaining, jnp.asarray(eos_token_id, jnp.int32))
+                lane_req, emitted, lane_budget, qhead,
+                q_prompts, q_lens, q_budgets,
+                jnp.asarray(n_req, jnp.int32),
+                jnp.asarray(eos_token_id, jnp.int32),
+                jnp.asarray(seed, jnp.int32))
             packed = np.asarray(packed)          # ONE device->host fetch
             n_exec = int(packed[-1, 0, 0])
-            accs = packed[:-1, :, :-1]           # (K, B, depth_cap)
-            naccs = packed[:-1, :, -1]           # (K, B)
-            refill = [False] * b
-            for s in range(b):
-                r = slot_req[s]
-                if r < 0:
-                    continue
-                for j in range(n_exec):
-                    if finished[r]:
-                        break
+            assert n_exec > 0, "serve scan made no progress"
+            accs = packed[:-1, :, :-2]           # (K, B, depth_cap)
+            naccs = packed[:-1, :, -2]           # (K, B)
+            reqs = packed[:-1, :, -1]            # (K, B)
+            for j in range(n_exec):
+                for s in range(b):
+                    r = int(reqs[j, s])
+                    if r < 0 or finished[r]:
+                        continue
+                    if first_seen[r] < 0:
+                        admit_round[r] = rounds + j
+                        first_seen[r] = 1
                     busy_slot_rounds += 1
                     for t in accs[j, s][:naccs[j, s]]:
                         outs[r].append(int(t))
@@ -356,22 +432,7 @@ class BatchedSpecEngine(SpecEngine):
                             finished[r] = True
                             finish_round[r] = rounds + j + 1
                             break
-                refill[s] = finished[r]
             rounds += n_exec
-            for s in range(b):
-                if not refill[s]:
-                    continue
-                # refill with a fresh state + prompt context: the new
-                # request prefills chain-wise inside subsequent rounds
-                nr = queue.pop(0) if queue else -1
-                slot_req[s] = nr
-                batched = self._write_slot(
-                    batched, self.init_state(seed + max(nr, 0)), s)
-                bctx = self._write_slot(
-                    bctx, self._serve_ctx(
-                        prompts[nr] if nr >= 0 else None), s)
-                if nr >= 0:
-                    admit_round[nr] = rounds
         total = sum(new_tokens)
         return outs, {"new_tokens": total, "rounds": rounds,
                       "per_request": new_tokens,
