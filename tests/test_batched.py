@@ -113,6 +113,22 @@ def test_serve_per_request_budgets_and_latency():
     assert sum(stats["latency_rounds"]) <= stats["rounds"] * 2  # 2 slots
 
 
+def test_serve_multi_dispatch_carries_lane_state():
+    """rounds_per_dispatch smaller than the workload forces several scan
+    calls; lane_req/emitted/budget/qhead must carry across the dispatch
+    boundary exactly (a request's budget window can straddle dispatches)."""
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(3, 14, 6 + i).tolist() for i in range(5)]
+    refs = [eng.generate_ar(p, max_new_tokens=7, eos_token_id=-1)[0]
+            for p in prompts]
+    outs, stats = eng.serve(prompts, max_new_tokens=7, eos_token_id=-1,
+                            rounds_per_dispatch=3)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert o == r, (i, o, r)
+    assert stats["per_request"] == [7] * 5
+
+
 def test_serve_stochastic_runs():
     """Temperature=1 under the fused serve scan: per-lane PRNG keys thread
     through the while_loop; outputs must be in-vocab and complete."""
