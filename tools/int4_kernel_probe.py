@@ -183,10 +183,90 @@ def main():
         corr = 8.0 * jnp.sum(x2, axis=1, keepdims=True)
         return ((y - corr) * s_pc[None, :]).astype(jnp.bfloat16)
 
+    # ---- kfull: K-split tiles spanning the FULL output width -------------
+    # A (kb, n_out) u8 tile is one CONTIGUOUS memory block (kb complete
+    # rows), so its DMA bursts are maximal; the (kb, bn<=512) tiles of the
+    # n-grid family read 512-byte strided segments per row — the suspected
+    # cause of the 204 GB/s pipeline ceiling (u8 512B bursts) vs the bf16
+    # matmul's 624 (1KB bursts).
+    def kfull_body(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_ref, *, stage,
+                   k_steps):
+        ki = pl.program_id(0)
+        packed = q_ref[:].astype(jnp.int32)            # (kb, n_out)
+        if stage == "ceiling":
+            hi = packed.astype(jnp.bfloat16)
+            lo = hi
+        else:
+            hi = (packed >> 4).astype(jnp.bfloat16)
+            lo = (packed & 0xF).astype(jnp.bfloat16)
+        acc = jnp.dot(xe_ref[:], hi, preferred_element_type=jnp.float32)
+        acc += jnp.dot(xo_ref[:], lo, preferred_element_type=jnp.float32)
+
+        @pl.when(ki == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc_ref[:] += acc
+
+        @pl.when(ki == k_steps - 1)
+        def _fin():
+            fin = acc_ref[:]
+            if stage == "pc_out":
+                fin = fin * s_ref[0:1, :].astype(jnp.float32)
+            o_ref[:] = fin.astype(o_ref.dtype)
+
+    def make_kfull(stage):
+        def mm(x2, q, s_blk, s_pc):
+            bt, n_in = x2.shape
+            half, n_out = q.shape
+            x3 = x2.reshape(bt, half, 2)
+            xe, xo = x3[:, :, 0], x3[:, :, 1]
+            # kb sized so double-buffered tiles + f32 scratch + resident x
+            # stay under ~13MB of VMEM
+            budget = 13 * 2**20 - bt * n_out * 4 - bt * n_in * 2
+            cap = max(128, budget // (2 * n_out) // 2)
+            # largest divisor of half that is a multiple of 128 (the x
+            # block's minor dim must be lane-aligned) and <= cap; half can
+            # be 5504 = 128*43, so only 128-multiples that divide it work
+            kb = max((d for d in range(128, min(cap, half) + 1, 128)
+                      if half % d == 0), default=half)
+            k_steps = half // kb
+            out = pl.pallas_call(
+                functools.partial(kfull_body, stage=stage, k_steps=k_steps),
+                grid=(k_steps,),
+                in_specs=[
+                    pl.BlockSpec((bt, kb), lambda k: (0, k),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bt, kb), lambda k: (0, k),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((kb, n_out), lambda k: (k, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, n_out), lambda k: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((bt, n_out), lambda k: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((bt, n_out), jnp.bfloat16),
+                scratch_shapes=[pltpu.VMEM((bt, n_out), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * bt * n_in * n_out,
+                    bytes_accessed=half * n_out + bt * n_in * 2
+                    + bt * n_out * 2,
+                    transcendentals=0),
+            )(xe, xo, q, s_pc.reshape(1, n_out))
+            if stage == "pc_out":
+                corr = 8.0 * jnp.sum(x2, axis=1, keepdims=True)
+                out = out - (corr * s_pc[None, :]).astype(out.dtype)
+            return out
+        return mm
+
     variants = {}
     for stage in ("ceiling", "nibbles", "sub8", "blockwise", "pc_out"):
         variants[f"{stage}_n"] = make_mm(stage, split_k=False)
         variants[f"{stage}_nk"] = make_mm(stage, split_k=True)
+    for stage in ("ceiling", "nibbles", "pc_out"):
+        variants[f"{stage}_kfull"] = make_kfull(stage)
     variants["xla_pc"] = xla_pc
 
     ks = jax.random.split(jax.random.key(0), len(shapes))
