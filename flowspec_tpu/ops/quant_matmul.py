@@ -200,10 +200,112 @@ def _packed4_matmul(x, q, scale, kernel, fallback):
     return out[:bt0].reshape(b, t, n_out)
 
 
+def _int4_kfull_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                       k_steps):
+    # K-split grid with tiles spanning the FULL output width: a (kb, Out)
+    # u8 tile is kb complete rows = one contiguous HBM block, so the weight
+    # DMA bursts are maximal. Measured (tools/int4_kernel_probe.py, 7B
+    # stack): 281-284 GB/s effective packed read at T=1/decode vs the
+    # n-grid kernel's 147-166 — int4 reaches absolute-time parity with the
+    # XLA int8 path (which reads 2x the bytes at 555 GB/s) while halving
+    # HBM residency. The probe's staged ladder shows the nibble decode
+    # itself costs ~5% (ceiling 310 vs nibbles 281); the residual gap to
+    # DMA speed-of-light is per-pallas_call overhead (~20us x 224
+    # calls/pass), not decode math.
+    ki = pl.program_id(0)
+    packed = q_ref[:].astype(jnp.int32)               # (kb, Out)
+    kb, n_out = packed.shape
+    s = s_ref[:].astype(jnp.bfloat16)                 # (kb//32, Out)
+    s_half = jnp.broadcast_to(
+        s[:, None, :], (kb // 32, 32, n_out)).reshape(kb, n_out)
+    hi = ((packed >> 4) - 8).astype(jnp.bfloat16) * s_half
+    lo = ((packed & 0xF) - 8).astype(jnp.bfloat16) * s_half
+    acc = jnp.dot(xe_ref[:], hi, preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:], lo, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    acc_ref[:] += acc
+
+    @pl.when(ki == k_steps - 1)
+    def _fin():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _kfull_kb(half: int, n_out: int, bt: int):
+    """Largest kb (packed rows per grid step) that divides `half`, is a
+    multiple of 256 (the x block needs kb%128, the (kb//32, Out) scale
+    block needs kb//32 % 8), and fits the 16MB scoped-VMEM budget. None if
+    impossible (e.g. 7B's down-proj half 5504 = 128*43, or a wide-Out
+    matrix whose decode intermediates overflow even at kb=256).
+
+    Budget model calibrated against Mosaic's allocator: a (512, 5120) u8
+    tile at bt=64 compiled to a 17.87M scoped allocation — ~6.1 bytes per
+    tile element beyond the fixed buffers (double-buffered q DMA + i32
+    unpack + hi/lo bf16 + s_half, partially reused) — so use 6.5 B/elem
+    against a 14.5M budget."""
+    fixed = bt * n_out * 6 + bt * half * 4       # acc f32 + out + xe/xo
+    cap = int((14.5 * 2**20 - fixed) // (6.5 * n_out))
+    if cap < 256:
+        return None
+    return max((d for d in range(256, min(cap, half) + 1, 256)
+                if half % d == 0), default=None)
+
+
+def _int4_matmul_kfull(x, q, scale, kb_override=None):
+    b, t, n_in = x.shape
+    half, n_out = q.shape
+    x2, bt0 = _pad_rows(x.reshape(b * t, n_in))
+    bt = x2.shape[0]
+    kb = kb_override or _kfull_kb(half, n_out, bt)
+    if kb is None:
+        return None
+    k_steps = half // kb
+    x3 = x2.reshape(bt, half, 2)
+    xe, xo = x3[:, :, 0], x3[:, :, 1]
+    out = pl.pallas_call(
+        functools.partial(_int4_kfull_kernel, k_steps=k_steps),
+        grid=(k_steps,),
+        in_specs=[
+            pl.BlockSpec((bt, kb), lambda k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, kb), lambda k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, n_out), lambda k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb // 32, n_out), lambda k: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, n_out), lambda k: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bt, n_out), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bt, n_out), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bt * n_in * n_out,
+            bytes_accessed=half * n_out + bt * n_in * 2 + bt * n_out * 2,
+            transcendentals=0),
+    )(xe, xo, q, scale)
+    return out[:bt0].reshape(b, t, n_out)
+
+
 @jax.jit
 def int4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
     """x (B, T, In) @ Int4(q (In//2, Out) packed u8, scale (In//64, Out))
-    -> (B, T, Out)."""
+    -> (B, T, Out). Small-T calls (AR steps, pair drains — T <= 32) route
+    to the contiguous-tile kfull kernel, which reads ~280 GB/s packed
+    there vs the n-grid kernel's ~165 (tools/int4_kernel_probe.py; the
+    int8 twin measures kfull 429 vs n-grid 379 at T=1). At tree-verify
+    width (T~96) kfull LOSES (int8: 318 vs 379) — the wide dots bind on
+    the MXU/VMEM pipeline, not tile DMA — so wide calls keep the n-grid
+    kernel, then the XLA dequant einsum as the final fallback."""
+    if x.shape[0] * x.shape[1] <= 32:
+        y = _int4_matmul_kfull(x, q, scale)
+        if y is not None:
+            return y
+
     def fallback():
         from flowspec_tpu.ops.quant import Int4Tensor, dequantize
         wd = dequantize(Int4Tensor(q=q, scale=scale)).astype(x.dtype)

@@ -84,6 +84,39 @@ def test_qmatmul_xla_matches_dequant():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_int4_kfull_kernel_interpret_mode():
+    """The contiguous-tile (kfull) int4 kernel — incl. the multi-k-step
+    scratch accumulation — matches the XLA dequant path."""
+    from jax.experimental.pallas import tpu as pltpu
+    from flowspec_tpu.ops import quant_matmul as qm
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 8, 1024)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(1024, 256)), jnp.float32)
+    i4 = quantize_int4(w)
+    with pltpu.force_tpu_interpret_mode():
+        auto = qm._int4_matmul_kfull(x, i4.q, i4.scale)          # 1 step
+        multi = qm._int4_matmul_kfull(x, i4.q, i4.scale,
+                                      kb_override=256)           # 2 steps
+    assert auto is not None and multi is not None
+    # reference with the kernel's decode rounding: (code-8) bf16 * s bf16
+    from flowspec_tpu.ops.quant import unpack_nf4
+    codes = unpack_nf4(i4.q).astype(jnp.int32)                # (In, Out)
+    s_rep = jnp.repeat(i4.scale, 64, axis=0).astype(jnp.bfloat16)
+    wd = ((codes - 8).astype(jnp.bfloat16) * s_rep).astype(jnp.float32)
+    ref = x.astype(jnp.float32) @ wd
+    np.testing.assert_allclose(np.asarray(auto, np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(multi, np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-2)
+    # a shape with no 256-multiple divisor of half must decline
+    w2 = jnp.asarray(rng.normal(size=(384, 128)), jnp.float32)   # half 192
+    i42 = quantize_int4(w2)
+    assert qm._int4_matmul_kfull(
+        jnp.asarray(rng.normal(size=(1, 8, 384)), jnp.bfloat16),
+        i42.q, i42.scale) is None
+
+
 def test_pallas_kernels_interpret_mode():
     """Kernel math == XLA dequant path (interpreter mode on CPU)."""
     from jax.experimental.pallas import tpu as pltpu

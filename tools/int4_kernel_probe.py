@@ -196,6 +196,15 @@ def main():
         if stage == "ceiling":
             hi = packed.astype(jnp.bfloat16)
             lo = hi
+        elif stage == "blockwise":
+            # production Int4Tensor semantics: (nibble - 8) * scale[block]
+            # — byte row r holds global rows 2r/2r+1, both in block r//32
+            kb_, n_out_ = packed.shape
+            s = s_ref[:].astype(jnp.bfloat16)          # (kb//32, n_out)
+            s_half = jnp.broadcast_to(
+                s[:, None, :], (kb_ // 32, 32, n_out_)).reshape(kb_, n_out_)
+            hi = ((packed >> 4) - 8).astype(jnp.bfloat16) * s_half
+            lo = ((packed & 0xF) - 8).astype(jnp.bfloat16) * s_half
         else:
             hi = (packed >> 4).astype(jnp.bfloat16)
             lo = (packed & 0xF).astype(jnp.bfloat16)
@@ -230,6 +239,14 @@ def main():
             kb = max((d for d in range(128, min(cap, half) + 1, 128)
                       if half % d == 0), default=half)
             k_steps = half // kb
+            if stage == "blockwise":
+                s_arg = s_blk
+                s_spec = pl.BlockSpec((kb // 32, n_out), lambda k: (k, 0),
+                                      memory_space=pltpu.VMEM)
+            else:
+                s_arg = s_pc.reshape(1, n_out)
+                s_spec = pl.BlockSpec((1, n_out), lambda k: (0, 0),
+                                      memory_space=pltpu.VMEM)
             out = pl.pallas_call(
                 functools.partial(kfull_body, stage=stage, k_steps=k_steps),
                 grid=(k_steps,),
@@ -240,8 +257,7 @@ def main():
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((kb, n_out), lambda k: (k, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, n_out), lambda k: (0, 0),
-                                 memory_space=pltpu.VMEM),
+                    s_spec,
                 ],
                 out_specs=pl.BlockSpec((bt, n_out), lambda k: (0, 0),
                                        memory_space=pltpu.VMEM),
@@ -254,36 +270,101 @@ def main():
                     bytes_accessed=half * n_out + bt * n_in * 2
                     + bt * n_out * 2,
                     transcendentals=0),
-            )(xe, xo, q, s_pc.reshape(1, n_out))
+            )(xe, xo, q, s_arg)
             if stage == "pc_out":
                 corr = 8.0 * jnp.sum(x2, axis=1, keepdims=True)
                 out = out - (corr * s_pc[None, :]).astype(out.dtype)
             return out
         return mm
 
+    # ---- production int4 path (kfull kernel + fallbacks) ------------------
+    def prod_int4(x2, q, s_blk, s_pc):
+        from flowspec_tpu.ops.quant_matmul import int4_matmul
+        return int4_matmul(x2[None], q, s_blk)[0]
+
+    # ---- int8 kfull: does the contiguous-tile layout also beat XLA's 555
+    # GB/s fused int8 path? (the n-grid int8 kernel measured 379)
+    def int8_kfull_body(x_ref, q_ref, o_ref, acc_ref, *, k_steps):
+        ki = pl.program_id(0)
+        w = q_ref[:].astype(jnp.bfloat16)              # (kb, n_out)
+        acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+        @pl.when(ki == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc_ref[:] += acc
+
+        @pl.when(ki == k_steps - 1)
+        def _fin():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    def int8_kfull(x2, q8, s_pc):
+        bt, n_in = x2.shape
+        _, n_out = q8.shape
+        budget = 13 * 2**20 - bt * n_out * 6 - bt * n_in * 2
+        cap = max(128, budget // (2 * n_out))
+        kb = max((d for d in range(128, min(cap, n_in) + 1, 128)
+                  if n_in % d == 0), default=n_in)
+        k_steps = n_in // kb
+        out = pl.pallas_call(
+            functools.partial(int8_kfull_body, k_steps=k_steps),
+            grid=(k_steps,),
+            in_specs=[pl.BlockSpec((bt, kb), lambda k: (0, k),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((kb, n_out), lambda k: (k, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((bt, n_out), lambda k: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bt, n_out), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((bt, n_out), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bt * n_in * n_out,
+                bytes_accessed=n_in * n_out + bt * n_in * 2
+                + bt * n_out * 2,
+                transcendentals=0),
+        )(x2, q8)
+        return out * s_pc[None, :].astype(jnp.bfloat16)
+
+    def xla_int8(x2, q8, s_pc):
+        y = jnp.dot(x2, q8.astype(x2.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y * s_pc[None, :]).astype(jnp.bfloat16)
+
     variants = {}
     for stage in ("ceiling", "nibbles", "sub8", "blockwise", "pc_out"):
         variants[f"{stage}_n"] = make_mm(stage, split_k=False)
         variants[f"{stage}_nk"] = make_mm(stage, split_k=True)
-    for stage in ("ceiling", "nibbles", "pc_out"):
+    for stage in ("ceiling", "nibbles", "blockwise", "pc_out"):
         variants[f"{stage}_kfull"] = make_kfull(stage)
     variants["xla_pc"] = xla_pc
+    variants["prod_int4"] = prod_int4
+    variants["int8_kfull"] = ("int8", int8_kfull)
+    variants["xla_int8"] = ("int8", xla_int8)
 
     ks = jax.random.split(jax.random.key(0), len(shapes))
-    Ws = []
+    Ws, W8s = [], []
     for k, (a, b) in zip(ks, shapes):
         Ws.append(dict(
             q=jax.random.randint(k, (L, a // 2, b), 0, 256, jnp.uint8),
             s_blk=jnp.full((L, a // BLOCK, b), 1e-4, jnp.float32),
             s_pc=jnp.full((L, b), 1e-4, jnp.float32)))
+        W8s.append(dict(
+            q8=jax.random.randint(k, (L, a, b), -127, 128, jnp.int8),
+            s_pc=jnp.full((L, b), 1e-4, jnp.float32)))
 
-    def stack_pass(x, Ws, mm):
+    def stack_pass(x, Ws, mm, int8_mode):
         def lbody(carry, ws):
             acc = carry
             outs = []
             for w in ws:
-                n_in = w["q"].shape[-2] * 2
-                y = mm(acc[:, :n_in], w["q"], w["s_blk"], w["s_pc"])
+                if int8_mode:
+                    n_in = w["q8"].shape[-2]
+                    y = mm(acc[:, :n_in], w["q8"], w["s_pc"])
+                else:
+                    n_in = w["q"].shape[-2] * 2
+                    y = mm(acc[:, :n_in], w["q"], w["s_blk"], w["s_pc"])
                 outs.append(jnp.pad(
                     y, ((0, 0), (0, acc.shape[1] - y.shape[1]))))
             return acc * 0.999 + sum(outs).astype(acc.dtype) * 1e-6, None
@@ -294,21 +375,28 @@ def main():
     for name, mm in variants.items():
         if only and name not in only:
             continue
+        int8_mode = isinstance(mm, tuple)
+        if int8_mode:
+            mm = mm[1]
+        ws_used = W8s if int8_mode else Ws
+        gb_used = gb4 * (2 if int8_mode else 1)
         for t in ts:
             bt = -(-t // 16) * 16
             x0 = jnp.ones((bt, i), jnp.bfloat16) * 0.01
             try:
-                loop = jax.jit(lambda x, Ws, mm=mm: jax.lax.fori_loop(
-                    0, iters, lambda k, xx: stack_pass(xx, Ws, mm), x))
-                y = loop(x0, Ws)
+                loop = jax.jit(
+                    lambda x, Ws, mm=mm, m8=int8_mode: jax.lax.fori_loop(
+                        0, iters, lambda k, xx: stack_pass(xx, Ws, mm, m8),
+                        x))
+                y = loop(x0, ws_used)
                 float(jnp.sum(y).astype(jnp.float32))
                 t0 = time.perf_counter()
-                y = loop(x0, Ws)
+                y = loop(x0, ws_used)
                 float(jnp.sum(y).astype(jnp.float32))
                 dt = (time.perf_counter() - t0) / iters * 1e3
-                bw = gb4 / (dt / 1e3)
+                bw = gb_used / (dt / 1e3)
                 print(f"T={t:3d} {name:14s} {dt:7.2f} ms/stack-pass "
-                      f"{bw:6.1f} GB/s packed", flush=True)
+                      f"{bw:6.1f} GB/s effective", flush=True)
             except Exception as e:
                 print(f"T={t:3d} {name:14s} FAILED: "
                       f"{type(e).__name__}: {str(e)[:200]}", flush=True)
