@@ -363,13 +363,19 @@ class SpecEngine:
 
     # ---- decoding --------------------------------------------------------
     def generate(self, prompt, max_new_tokens: Optional[int] = None,
-                 eos_token_id: int = 2, seed: int = 0):
-        """Returns (tokens list incl prompt, stats dict)."""
+                 eos_token_id: int = 2, seed: int = 0,
+                 return_state: bool = False):
+        """Returns (tokens list incl prompt, stats dict[, final state])."""
         max_new = max_new_tokens or self.cfg.max_new_tokens
         self._check_budget(prompt, max_new)
         state = self.init_state(seed)
         state = self.prefill(state, prompt)
         out = list(np.asarray(prompt, np.int64))
+        return self._decode_rounds(state, out, max_new, eos_token_id,
+                                   return_state)
+
+    def _decode_rounds(self, state, out, max_new, eos_token_id,
+                       return_state):
         new_tokens = 0
         rounds = 0
         while new_tokens < max_new:
@@ -386,8 +392,75 @@ class SpecEngine:
                     break
             if stop:
                 break
-        return out, {"new_tokens": new_tokens, "rounds": rounds,
-                     "accept_per_round": new_tokens / max(rounds, 1)}
+        stats = {"new_tokens": new_tokens, "rounds": rounds,
+                 "accept_per_round": new_tokens / max(rounds, 1)}
+        if return_state:
+            return out, stats, state
+        return out, stats
+
+    def resume_and_generate(self, state, history, extra_prompt,
+                            max_new_tokens: Optional[int] = None,
+                            eos_token_id: int = 2,
+                            return_state: bool = False):
+        """Multi-turn continuation with KV reuse: append `extra_prompt`
+        (the next user turn) to a finished generation and keep decoding,
+        prefilling ONLY the new tokens. The reference re-prefills the whole
+        conversation every turn (eval/run_pipe_eval.py rebuilds the full
+        conv string and calls stage_generate on it); here turn N's prefill
+        cost is O(new turn) instead of O(entire history).
+
+        `history` must be exactly the token list returned by the previous
+        generate/resume_and_generate call on this `state` (pass
+        return_state=True there). The engine may have committed PAST the
+        returned stream (a budget/eos stop can fall mid-round, and the
+        next root token is always sampled ahead), so the state is rolled
+        back to len(history)-1 committed tokens — committed KV row i holds
+        token history[i] by construction (prefill and round commits append
+        in stream order) — and the boundary token history[-1] is
+        re-forwarded as the first token of the continuation chunk: its
+        base KV row is recomputed identically, and its draft pair re-fuses
+        with the continuation's first token (the old pair encoded the
+        now-discarded overshoot token). The draft cache length likewise
+        tracks commits 1:1, so it rolls back to the same watermark."""
+        max_new = max_new_tokens or self.cfg.max_new_tokens
+        history = list(np.asarray(history, np.int64).reshape(-1))
+        extra = list(np.asarray(extra_prompt, np.int64).reshape(-1))
+        keep = len(history) - 1
+        assert keep >= 0 and extra, (len(history), len(extra))
+        tc = self.cfg.tree
+        limit = min(self.cfg.max_seq_len,
+                    state.base_cache.max_len - tc.node_cap,
+                    state.draft_cache.max_len
+                    - self._max_levels * tc.top_k)
+        need = len(history) + len(extra) + max_new + tc.depth_cap + 1
+        if need > limit:
+            raise ValueError(
+                f"history+extra+max_new+depth_cap = {need} exceeds this "
+                f"state's budget {limit}; raise EngineConfig.max_seq_len")
+
+        # three DISTINCT buffers: prefill donates the state, and donation
+        # rejects the same buffer appearing in multiple argument slots
+        mk32 = lambda v: jnp.asarray(np.int32(v))
+        h = state.pending_hidden.shape[-1]
+        state = dataclasses.replace(
+            state,
+            base_cache=dataclasses.replace(state.base_cache,
+                                           length=mk32(keep)),
+            draft_cache=dataclasses.replace(state.draft_cache,
+                                            length=mk32(keep)),
+            commit_len=mk32(keep),
+            n_pending=jnp.zeros((), jnp.int32),
+            # decode states carry depth_cap+1-row pair buffers
+            # (_finish_prefill shrinks them); prefill chunks queue up to
+            # prefill_chunk pairs, so re-widen to ctx_pad — narrow buffers
+            # would silently truncate the continuation's draft pairs
+            pending_tokens=jnp.zeros((self.ctx_pad,), jnp.int32),
+            pending_hidden=jnp.zeros((1, self.ctx_pad, h),
+                                     state.pending_hidden.dtype),
+        )
+        state = self.prefill(state, [history[-1]] + [int(t) for t in extra])
+        return self._decode_rounds(state, history + extra, max_new,
+                                   eos_token_id, return_state)
 
     def generate_fused(self, prompt, max_new_tokens: Optional[int] = None,
                        eos_token_id: int = 2, seed: int = 0):
