@@ -90,16 +90,13 @@ def _beam_step(p: EagleParams, head: jax.Array, cache_k, cache_v,
         x, p, cache_k, cache_v, positions, bias, write_start, cfg)
     out = out[0]                                                  # (K, H)
 
-    # --- candidates: per-row top-k next tokens with cumulative scores
-    logits = head_logits(out, head)                                   # (K, V)
-    # top-k on raw logits + per-row logsumexp correction == top-k of
-    # log_softmax (monotonic per row), without materializing a second
-    # (K, V) f32 tensor. approx_max_k is the TPU-optimized PartialReduce
-    # (exact at recall_target=1.0, much cheaper than a full sort over V).
-    row_val, row_tok = jax.lax.approx_max_k(logits, k_beam,
-                                            recall_target=1.0)    # (K, K)
-    lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)        # (K, 1)
-    cu = (row_val - lse) + state.scores[:, None]                  # (K, K)
+    # --- candidates: per-row top-k next tokens with cumulative scores.
+    # head_topk = top-k of log_softmax in one fused weight pass (Pallas
+    # kernel on TPU int8 heads, exact XLA fallback elsewhere — see
+    # ops/head_topk.py; the unfused chain was the beam's dominant cost).
+    from flowspec_tpu.ops.head_topk import head_topk
+    row_lp, row_tok = head_topk(out, head, k_beam)                # (K, K)
+    cu = row_lp + state.scores[:, None]                           # (K, K)
 
     flat_base = k_beam + l * k_beam * k_beam
     cand_tok = row_tok.reshape(-1).astype(jnp.int32)
@@ -135,11 +132,10 @@ def _init_beam(p: EagleParams, head: jax.Array, root_hidden: jax.Array,
                ctx_end, pos0, tree_cfg: TreeConfig, max_levels: int):
     """Root expansion: top-k children of the root from its draft hidden
     (eagle/cnets.py:748-760)."""
+    from flowspec_tpu.ops.head_topk import head_topk
     k_beam = tree_cfg.top_k
     m = k_beam + max_levels * k_beam * k_beam
-    logits = head_logits(root_hidden, head)
-    val, tok = jax.lax.approx_max_k(logits, k_beam, recall_target=1.0)
-    sc = val - jax.nn.logsumexp(logits)
+    sc, tok = head_topk(root_hidden, head, k_beam)
 
     cand_tokens = jnp.full((m,), -1, jnp.int32).at[:k_beam].set(
         tok.astype(jnp.int32))
