@@ -85,10 +85,17 @@ def build_into_formats(mc, cfg):
     return params, draft, (p_fmt, d_fmt)
 
 
-def build_params(mc, quant: str):
+def build_params(mc, quant: str, draft_kind: str = "random",
+                 draft_ckpt: str = None):
     """(params, draft) for the bench: random weights, generated directly in
     quantized form when quant != none (avoids holding bf16 + quantized
-    copies simultaneously, which OOMs at 7B)."""
+    copies simultaneously, which OOMs at 7B).
+
+    draft_kind "trained" loads the distilled thin-draft checkpoint
+    (tools/train_bench_draft.py) instead of a random draft — the EARNED-
+    acceptance configuration (VERDICT r2 #1): acceptance is then measured,
+    not forced, and the spec numbers reflect a draft that actually
+    predicts this base model."""
     import jax
     import jax.numpy as jnp
     from flowspec_tpu.draft.eagle import init_eagle_params
@@ -155,7 +162,12 @@ def build_params(mc, quant: str):
             lm_head=jax.random.normal(ks[8], (h, v), dt) * h ** -0.5)
     else:
         params = init_llama_params(key, mc)
-    draft = init_eagle_params(jax.random.key(1), mc, embed=params.embed)
+    if draft_kind == "trained":
+        from flowspec_tpu.draft.eagle import load_thin_draft
+        draft = load_thin_draft(draft_ckpt, params.embed,
+                                jnp.dtype(mc.dtype))
+    else:
+        draft = init_eagle_params(jax.random.key(1), mc, embed=params.embed)
     if quant != "none":
         from flowspec_tpu.draft.eagle import quantize_eagle_params
         draft = quantize_eagle_params(
@@ -234,6 +246,20 @@ def main():
     # engine's acceptance->throughput curve (metric is tagged _fa{n};
     # outputs are NOT the model's distribution — see EngineConfig)
     force_accept = int(os.environ.get("BENCH_FORCE_ACCEPT", "0"))
+    # BENCH_DRAFT=auto|random|trained: "trained" loads the distilled
+    # thin-draft checkpoint so acceptance is EARNED (measured, not forced);
+    # "auto" (default) uses it whenever the checkpoint exists and the run
+    # is a quantized spec-family mode (the bf16 path keeps the full-size
+    # random draft for the negotiated-layout coverage). The untrained
+    # worst-case row stays reachable via BENCH_DRAFT=random.
+    draft_kind = os.environ.get("BENCH_DRAFT", "auto")
+    draft_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "checkpoints",
+        f"draft_{model_kind}_thin_fp16.npz")
+    if draft_kind == "auto":
+        draft_kind = ("trained" if os.path.exists(draft_ckpt)
+                      and quant != "none" and mode != "ar"
+                      and not force_accept else "random")
     cfg = EngineConfig(model=mc, tree=tc,
                        sampling=SamplingConfig(temperature=temp),
                        max_new_tokens=n_tokens, max_seq_len=max_seq,
@@ -245,11 +271,11 @@ def main():
         params, draft, formats = build_into_formats(mc, cfg)
         eng = SpecEngine(params, draft, cfg, formats=formats)
     elif batch > 1:
-        params, draft = build_params(mc, quant)
+        params, draft = build_params(mc, quant, draft_kind, draft_ckpt)
         from flowspec_tpu.runtime.batched import BatchedSpecEngine
         eng = BatchedSpecEngine(params, draft, cfg, batch_size=batch)
     else:
-        params, draft = build_params(mc, quant)
+        params, draft = build_params(mc, quant, draft_kind, draft_ckpt)
         eng = SpecEngine(params, draft, cfg)
 
     rng0 = np.random.default_rng(0)
@@ -327,6 +353,8 @@ def main():
         row["slot_utilization"] = round(stats["slot_utilization"], 3)
     if "accept_per_round" in stats:
         row["accept_per_round"] = round(stats["accept_per_round"], 3)
+    if mode != "ar":
+        row["draft"] = draft_kind   # "trained" = earned acceptance
     print(json.dumps(row))
 
 

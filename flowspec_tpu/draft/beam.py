@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from flowspec_tpu.config import ModelConfig, TreeConfig
-from flowspec_tpu.draft.eagle import EagleParams, eagle_layer, fuse
+from flowspec_tpu.draft.eagle import (
+    EagleParams, draft_view, eagle_layer, fuse, project_out,
+)
 from flowspec_tpu.models.kv_cache import KVCache
 from flowspec_tpu.tree.build import build_tree, select_topn
 from flowspec_tpu.tree.types import TokenTree
@@ -87,8 +89,9 @@ def _beam_step(p: EagleParams, head: jax.Array, cache_k, cache_v,
     bias = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
 
     out, cache_k, cache_v = eagle_layer(
-        x, p, cache_k, cache_v, positions, bias, write_start, cfg)
-    out = out[0]                                                  # (K, H)
+        x, p, cache_k, cache_v, positions, bias, write_start,
+        draft_view(p, cfg))
+    out = project_out(p, out)[0]                                  # (K, H)
 
     # --- candidates: per-row top-k next tokens with cumulative scores.
     # head_topk = top-k of log_softmax in one fused weight pass (Pallas

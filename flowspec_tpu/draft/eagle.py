@@ -23,17 +23,59 @@ from flowspec_tpu.ops.quant import qmatmul, quantize_int8, quantize_nf4
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EagleParams:
+    """Full-size draft (reference layout): the decoder layer works in the
+    base hidden space H and `w_out` is None. Thin draft (a capability the
+    reference lacks — its draft is always a full-width base layer,
+    eagle/cnets.py:476-520): the layer works in its own width W < H
+    (fc: 2H -> W, attention/MLP on W) and `w_out: (W, H)` projects the
+    output back to base hidden space for lm_head scoring and the next
+    level's fusion. All downstream code derives the draft geometry from
+    these shapes via `draft_view` — no second config to thread."""
     embed: jax.Array      # (V, H) — tied to base model (frozen, cnets:519)
-    fc_w: jax.Array       # (2H, H)
-    fc_b: jax.Array       # (H,)
-    wq: jax.Array         # (H, nq*D)
+    fc_w: jax.Array       # (2H, W)   (W == H for the reference layout)
+    fc_b: jax.Array       # (W,)
+    wq: jax.Array         # (W, nq*D)
     wk: jax.Array
     wv: jax.Array
     wo: jax.Array
     w_gate: jax.Array
     w_up: jax.Array
     w_down: jax.Array
-    post_ln: jax.Array    # (H,) — input_ln intentionally absent
+    post_ln: jax.Array    # (W,) — input_ln intentionally absent
+    w_out: jax.Array | None = None   # (W, H) thin-draft output projection
+
+
+def _odim(x) -> int:
+    """Output (last) dim of a possibly-quantized weight: quant containers
+    pack along the *input* axis (-2), so the last axis is always real."""
+    q = getattr(x, "q", None)
+    return (x if q is None else q).shape[-1]
+
+
+def draft_view(p: EagleParams, base_cfg: ModelConfig) -> ModelConfig:
+    """ModelConfig describing the draft layer's geometry, derived from the
+    param shapes (width, head count, MLP width may all differ from the
+    base — thin drafts). head_dim is inherited from the base so rope is
+    compatible across widths."""
+    d = base_cfg.head_dim_
+    w = _odim(p.fc_w)
+    nq = _odim(p.wq) // d
+    nkv = _odim(p.wk) // d
+    inter = _odim(p.w_gate)
+    if (w == base_cfg.hidden_size and inter == base_cfg.intermediate_size
+            and nq == base_cfg.num_attention_heads
+            and nkv == base_cfg.num_key_value_heads):
+        return base_cfg
+    return dataclasses.replace(
+        base_cfg, hidden_size=w, intermediate_size=inter,
+        num_attention_heads=nq, num_key_value_heads=nkv, head_dim=d)
+
+
+def project_out(p: EagleParams, x: jax.Array) -> jax.Array:
+    """Thin-draft W -> H output projection (identity for the reference
+    layout). Everything downstream of the draft layer — lm_head scoring,
+    the next beam level's fuse(), pair hiddens — lives in base H space."""
+    return x if p.w_out is None else qmatmul(x, p.w_out)
 
 
 def eagle_layer(x: jax.Array, p: EagleParams, k_cache, v_cache,
@@ -62,7 +104,7 @@ def fuse(p: EagleParams, tokens: jax.Array, hidden: jax.Array) -> jax.Array:
 
 
 EAGLE_QUANT_FIELDS = ("fc_w", "wq", "wk", "wv", "wo",
-                      "w_gate", "w_up", "w_down")
+                      "w_gate", "w_up", "w_down", "w_out")
 
 
 def quantize_eagle_params(p: EagleParams, kind: str) -> EagleParams:
@@ -77,7 +119,8 @@ def quantize_eagle_params(p: EagleParams, kind: str) -> EagleParams:
           "int4": quantize_int4, "mixed": quantize_int8}[kind]
     import dataclasses as _dc
     return _dc.replace(p, **{f: fn(getattr(p, f))
-                             for f in EAGLE_QUANT_FIELDS})
+                             for f in EAGLE_QUANT_FIELDS
+                             if getattr(p, f) is not None})
 
 
 def draft_context_forward(p: EagleParams, cache: KVCache, tokens: jax.Array,
@@ -89,6 +132,7 @@ def draft_context_forward(p: EagleParams, cache: KVCache, tokens: jax.Array,
     real. Returns (out_hidden (1, T, H), cache with beam-region length reset
     to start + n_valid — the reference's `stable_kv`, eagle/cnets.py:737-744).
     """
+    dc = draft_view(p, cfg)
     t = tokens.shape[0]
     x = fuse(p, tokens[None], hidden)
     positions = start + jnp.arange(t, dtype=jnp.int32)
@@ -96,19 +140,33 @@ def draft_context_forward(p: EagleParams, cache: KVCache, tokens: jax.Array,
     j = jnp.arange(cache.max_len, dtype=jnp.int32)[None, :]
     bias = jnp.where(j <= start + i, 0.0, -1e9).astype(jnp.float32)
     out, k, v = eagle_layer(x, p, cache.k[0], cache.v[0], positions, bias,
-                            start, cfg)
+                            start, dc)
     new_cache = KVCache(k=k[None], v=v[None],
                         length=(start + n_valid).astype(jnp.int32))
-    return out, new_cache
+    return project_out(p, out), new_cache
 
 
 def init_eagle_params(key: jax.Array, cfg: ModelConfig,
                       embed: jax.Array | None = None,
-                      dtype=None) -> EagleParams:
+                      dtype=None, width: int | None = None,
+                      n_heads: int | None = None,
+                      n_kv_heads: int | None = None,
+                      inter: int | None = None) -> EagleParams:
+    """Random-init draft. Default: the reference's full-width layout
+    (W == H). `width`/`n_heads`/`n_kv_heads`/`inter` build a THIN draft —
+    the layer works in W with its own head count / MLP width and a
+    w_out: (W, H) projection; head_dim stays the base's so rope matches."""
     dtype = dtype or jnp.dtype(cfg.dtype)
-    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    h, v = cfg.hidden_size, cfg.vocab_size
     d = cfg.head_dim_
-    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    w = width or h
+    i = inter or (cfg.intermediate_size if w == h else
+                  int(2.75 * w) // 256 * 256 or w * 2)
+    nq = n_heads or (cfg.num_attention_heads if w == h else max(w // d, 1))
+    nkv = n_kv_heads or (cfg.num_key_value_heads if w == h
+                         else max(w // d, 1))
+    thin = (w != h or nq != cfg.num_attention_heads
+            or nkv != cfg.num_key_value_heads or i != cfg.intermediate_size)
     ks = jax.random.split(key, 10)
 
     def init(k, shape):
@@ -118,17 +176,29 @@ def init_eagle_params(key: jax.Array, cfg: ModelConfig,
     return EagleParams(
         embed=embed if embed is not None else (
             jax.random.normal(ks[0], (v, h), dtype) * jnp.asarray(0.02, dtype)),
-        fc_w=init(ks[1], (2 * h, h)),
-        fc_b=jnp.zeros((h,), dtype),
-        wq=init(ks[2], (h, nq * d)),
-        wk=init(ks[3], (h, nkv * d)),
-        wv=init(ks[4], (h, nkv * d)),
-        wo=init(ks[5], (nq * d, h)),
-        w_gate=init(ks[6], (h, i)),
-        w_up=init(ks[7], (h, i)),
-        w_down=init(ks[8], (i, h)),
-        post_ln=jnp.ones((h,), dtype),
+        fc_w=init(ks[1], (2 * h, w)),
+        fc_b=jnp.zeros((w,), dtype),
+        wq=init(ks[2], (w, nq * d)),
+        wk=init(ks[3], (w, nkv * d)),
+        wv=init(ks[4], (w, nkv * d)),
+        wo=init(ks[5], (nq * d, w)),
+        w_gate=init(ks[6], (w, i)),
+        w_up=init(ks[7], (w, i)),
+        w_down=init(ks[8], (i, w)),
+        post_ln=jnp.ones((w,), dtype),
+        w_out=init(ks[9], (w, h)) if thin else None,
     )
+
+
+def load_thin_draft(path: str, embed: jax.Array,
+                    dtype=jnp.bfloat16) -> EagleParams:
+    """Load a distilled thin-draft checkpoint (npz of trainable fields,
+    fp16 — written by tools/train_bench_draft.py). Embeddings come from
+    the base model, like the reference's draft loading
+    (stage_ea_model.py:113-164)."""
+    z = np.load(path)
+    kw = {f: jnp.asarray(z[f].astype(np.float32), dtype) for f in z.files}
+    return EagleParams(embed=embed, **kw)
 
 
 def load_eagle_params(draft_dir: str, embed: jax.Array,

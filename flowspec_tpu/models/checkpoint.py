@@ -45,6 +45,8 @@ def _all_classes():
 
 
 def _encode(obj, leaves, prefix):
+    if obj is None:          # optional fields (EagleParams.w_out)
+        return {"__none__": True}
     if isinstance(obj, tuple(_all_classes().values())):
         fields = {}
         for f in dataclasses.fields(obj):
@@ -56,6 +58,8 @@ def _encode(obj, leaves, prefix):
 
 
 def _decode(node, load_leaf):
+    if "__none__" in node:
+        return None
     if "__leaf__" in node:
         return jnp.asarray(load_leaf(node["__leaf__"]))
     cls = _all_classes()[node["__class__"]]

@@ -51,7 +51,8 @@ from flowspec_tpu.draft.beam import (
     BeamState, expand_tree, head_logits, topk_generate,
 )
 from flowspec_tpu.draft.eagle import (
-    EagleParams, draft_context_forward, eagle_layer, fuse,
+    EagleParams, draft_context_forward, draft_view, eagle_layer, fuse,
+    project_out,
 )
 from flowspec_tpu.tree.build import finalize_tree
 from flowspec_tpu.models.bias import prefill_bias, tree_bias
@@ -100,6 +101,11 @@ class RoundOut(NamedTuple):
     skips: jax.Array        # bubble turns (no chunk completed) — ref
                             # skip_count, stage_ea_model.py:454-455
     ne_fires: jax.Array     # none_expand expansions taken on bubble turns
+    rounds: jax.Array       # speculative rounds executed (1 per
+                            # _pipeline_round; accumulated by the fused
+                            # loop) — the denominator of the reference's
+                            # headline accept-length metric
+                            # (eval/run_pipe_eval.py:348-349)
 
 
 def _right_perm(p):
@@ -302,13 +308,13 @@ class PipelineEngine:
             functools.partial(_pipeline_round, **round_kw),
             in_specs=(pspec, dspec, sspec, P(), P(), bhspec),
             out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P(),
-                                       skips=P(), ne_fires=P())),
+                                       skips=P(), ne_fires=P(), rounds=P())),
             **sm_kw), donate_argnums=(2,))
         self._decode_loop = jax.jit(jax.shard_map(
             functools.partial(_pipeline_decode_loop, **round_kw),
             in_specs=(pspec, dspec, sspec, P(), P(), bhspec),
             out_specs=(sspec, RoundOut(out_tokens=P(), n_out=P(), turns=P(),
-                                       skips=P(), ne_fires=P())),
+                                       skips=P(), ne_fires=P(), rounds=P())),
             **sm_kw), donate_argnums=(2,))
 
     # ------------------------------------------------------------------
@@ -404,9 +410,11 @@ class PipelineEngine:
             length=_put_global(kv.length, NamedSharding(mesh, P())))
         draft_margin = max(self.max_levels * tc.top_k,
                            2 * tc.node_cap + tc.depth_cap + self.ctx)
-        dc = init_kv_cache(1, 1, mc.num_key_value_heads,
+        from flowspec_tpu.draft.eagle import draft_view
+        dcfg = draft_view(self.draft, mc)
+        dc = init_kv_cache(1, 1, dcfg.num_key_value_heads,
                            self.cfg.max_seq_len + draft_margin,
-                           mc.head_dim_, dt)
+                           dcfg.head_dim_, dt)
         rep = lambda x: _put_global(x, NamedSharding(mesh, P()))
         return PipeState(
             kv=kv,
@@ -503,12 +511,11 @@ class PipelineEngine:
             new_tokens += 1
             if int(t) == eos_token_id or new_tokens >= max_new:
                 break
-        # rounds run on-device inside the fused loop and aren't tracked;
-        # the harness treats rounds=-1 / accept_per_round=None as absent
+        rounds = int(res.rounds)
         return out, {"new_tokens": new_tokens, "turns": int(res.turns),
-                     "rounds": -1, "skips": int(res.skips),
+                     "rounds": rounds, "skips": int(res.skips),
                      "ne_fires": int(res.ne_fires),
-                     "accept_per_round": None}
+                     "accept_per_round": new_tokens / max(rounds, 1)}
 
     def generate(self, prompt, max_new_tokens=None, eos_token_id=2,
                  seed: int = 0):
@@ -1019,8 +1026,8 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget,
                 biasb = jnp.where(okb, 0.0, NEG_INF).astype(jnp.float32)
                 out_h, dk, dv = eagle_layer(
                     x, draft, dc.k[0], dc.v[0], positions, biasb,
-                    dctx + f_start, mc)
-                out_h = out_h[0]                              # (k_pd, H)
+                    dctx + f_start, draft_view(draft, mc))
+                out_h = project_out(draft, out_h)[0]          # (k_pd, H)
                 dh2 = c2.dhidden.at[jnp.where(fv, sf, n_cap)].set(
                     out_h.astype(c2.dhidden.dtype), mode="drop")
                 dhv2 = c2.dh_valid.at[jnp.where(fv, sf, n_cap)].set(
@@ -1126,7 +1133,8 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget,
         key=final.key)
     return new_state, RoundOut(out_tokens=final.out_tokens,
                                n_out=final.n_out, turns=final.turn,
-                               skips=final.skips, ne_fires=final.ne_fires)
+                               skips=final.skips, ne_fires=final.ne_fires,
+                               rounds=jnp.ones((), jnp.int32))
 
 
 def _pipeline_decode_loop(params, draft, state: PipeState, eos_id, budget,
@@ -1145,11 +1153,11 @@ def _pipeline_decode_loop(params, draft, state: PipeState, eos_id, budget,
             max_levels=max_levels)
 
     def cond(carry):
-        _, _, n_out, done, _, _, _ = carry
+        _, _, n_out, done, _, _, _, _ = carry
         return ~done & (n_out < budget)
 
     def body(carry):
-        st, out, n_out, done, turns, skips, ne = carry
+        st, out, n_out, done, turns, skips, ne, rounds = carry
         st2, res = round_fn(st, budget - n_out)
         i = jnp.arange(out_cap, dtype=jnp.int32)
         pv = i < res.n_out
@@ -1159,13 +1167,15 @@ def _pipeline_decode_loop(params, draft, state: PipeState, eos_id, budget,
         eos_hit = jnp.any(pv & (res.out_tokens == eos_id) & (eos_id >= 0))
         stalled = res.n_out <= 0
         return (st2, out2, n_out + res.n_out, done | eos_hit | stalled,
-                turns + res.turns, skips + res.skips, ne + res.ne_fires)
+                turns + res.turns, skips + res.skips, ne + res.ne_fires,
+                rounds + 1)
 
     init = (state, jnp.zeros((buf_cap,), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.asarray(False),
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-            jnp.zeros((), jnp.int32))
-    st, out, n_out, _, turns, skips, ne = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    (st, out, n_out, _, turns, skips, ne,
+     rounds) = jax.lax.while_loop(cond, body, init)
     return st, RoundOut(out_tokens=out[:out_cap] if buf_cap != out_cap
                         else out, n_out=n_out, turns=turns, skips=skips,
-                        ne_fires=ne)
+                        ne_fires=ne, rounds=rounds)

@@ -33,11 +33,41 @@ from flowspec_tpu.runtime.engine import (
 )
 
 
+def adapt_tree_for_batch(tree, batch_size: int):
+    """Batch-adaptive speculation: shrink the per-lane draft tree as the
+    batch grows. At T = B*nodes verify tokens the 7B matmuls leave the
+    HBM-bound regime and go MXU-bound (PROFILE_batched_7b_int8.md), so
+    wide per-lane trees stop being free — measured serve B=4 aggregate:
+    61.0 tok/s at 96 nodes -> 83.3 at 48 -> 92.7 at 32. Greedy outputs
+    are tree-size-invariant (losslessness is unaffected); only acceptance
+    per round trades off, the same total_token tradeoff the reference
+    tunes via tools/length_sweep.py:5-30."""
+    import dataclasses
+    if batch_size <= 1:
+        return tree
+    target = 48 if batch_size <= 3 else 32
+    if tree.total_tokens + 1 <= target:
+        return tree
+    return dataclasses.replace(
+        tree, total_tokens=target - 1,
+        node_cap=min(tree.node_cap, target),
+        leaf_cap=min(tree.leaf_cap, target))
+
+
 class BatchedSpecEngine(SpecEngine):
     """SpecEngine plus vmapped multi-request decoding over B slots."""
 
     def __init__(self, params: LlamaParams, draft: EagleParams,
-                 cfg: EngineConfig, batch_size: int = 4):
+                 cfg: EngineConfig, batch_size: int = 4,
+                 adapt_tree: bool = True):
+        """`adapt_tree` (default on) applies the measured batch->tree-size
+        table (see adapt_tree_for_batch); pass False to pin the configured
+        tree (e.g. for exact-output parity tests against SpecEngine under
+        stochastic sampling, where tree shape affects the sampled path)."""
+        if adapt_tree:
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, tree=adapt_tree_for_batch(cfg.tree, batch_size))
         super().__init__(params, draft, cfg)
         self.batch_size = batch_size
         cfg = self.cfg    # SpecEngine clamps the tree caps; stay consistent

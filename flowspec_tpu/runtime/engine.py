@@ -171,6 +171,8 @@ class SpecEngine:
         sequence-sharded ring-collective path (parallel/galaxy.py)."""
         self.params = params
         self.draft = draft
+        from flowspec_tpu.draft.eagle import draft_view
+        self.dcfg = draft_view(draft, cfg.model)
         tc = cfg.tree
         # The single-chip engine verifies freshly drafted trees only (it
         # never merges), and a fresh top-N beam tree always holds exactly
@@ -306,8 +308,10 @@ class SpecEngine:
             base_cache=init_kv_cache(mc.num_hidden_layers, 1,
                                      mc.num_key_value_heads,
                                      base_rows, mc.head_dim_, dt),
-            draft_cache=init_kv_cache(1, 1, mc.num_key_value_heads,
-                                      draft_rows, mc.head_dim_, dt),
+            # draft KV geometry follows the draft's own (possibly thin)
+            # head layout, not the base's
+            draft_cache=init_kv_cache(1, 1, self.dcfg.num_key_value_heads,
+                                      draft_rows, self.dcfg.head_dim_, dt),
             commit_len=jnp.zeros((), jnp.int32),
             root_token=jnp.zeros((), jnp.int32),
             pending_tokens=jnp.zeros((self.ctx_pad,), jnp.int32),

