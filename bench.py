@@ -187,7 +187,7 @@ def main():
     quant = os.environ.get("BENCH_QUANT",
                            "int8" if model_kind in ("7b", "13b") else "none")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
-    if mode == "serve":
+    if mode in ("serve", "stream"):
         batch = max(batch, 4)   # serve() needs the batched engine's slots
     # BENCH_TEMP > 0 exercises the stochastic acceptance path (the
     # reference reports T=0 and T=1 rows; its T=1 numbers are ~4% below
@@ -280,6 +280,43 @@ def main():
 
     rng0 = np.random.default_rng(0)
     prompt = rng0.integers(10, 1000, 64)
+
+    if mode == "stream":
+        # STREAMING-ARRIVAL serving (r2 verdict #9): requests arrive over
+        # time (Poisson, BENCH_ARRIVAL_RPS mean rate); measures
+        # arrival->admission and arrival->completion latency percentiles
+        # under the admission granularity BENCH_SERVE_K sets.
+        n_req = int(os.environ.get("BENCH_STREAM_REQS", 3 * batch))
+        rps = float(os.environ.get("BENCH_ARRIVAL_RPS", "4"))
+        prompts = [rng0.integers(10, 1000, 64) for _ in range(n_req)]
+        gaps = rng0.exponential(1.0 / rps, n_req)
+        gaps[0] = 0.0
+        arrivals = np.cumsum(gaps).tolist()
+        serve_k = int(os.environ.get("BENCH_SERVE_K", "8"))
+        n_tok = int(os.environ.get("BENCH_STREAM_TOKENS", "64"))
+        # warmup: compile the dispatch program on a static 2-request run
+        eng.serve_stream(prompts[:2], [0.0, 0.0], max_new_tokens=8,
+                         eos_token_id=-1, rounds_per_dispatch=serve_k)
+        t0 = time.perf_counter()
+        outs, stats = eng.serve_stream(prompts, arrivals,
+                                       max_new_tokens=n_tok,
+                                       eos_token_id=-1,
+                                       rounds_per_dispatch=serve_k)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"stream_{model_kind}_{quant}_b{batch}_rps{rps:g}",
+            "value": round(stats["new_tokens"] / dt, 3),
+            "unit": "tokens/s",
+            "vs_baseline": None,   # the reference cannot serve (batch=1)
+            "requests": n_req,
+            "admission_p50_s": round(stats["admission_p50_s"], 3),
+            "admission_p95_s": round(stats["admission_p95_s"], 3),
+            "completion_p50_s": round(stats["completion_p50_s"], 3),
+            "completion_p95_s": round(stats["completion_p95_s"], 3),
+            "slot_utilization": round(stats["slot_utilization"], 3),
+            "draft": draft_kind,
+        }))
+        return
 
     if mode == "serve":
         # token-level continuous batching: 2x batch_size requests through

@@ -28,6 +28,7 @@ class EvalResult:
     total_turns: int = 0
     n_questions: int = 0
     n_conv_turns: int = 0
+    resume_hits: int = 0     # turns continued via KV reuse (engine resume)
 
     @property
     def throughput(self) -> float:
@@ -39,8 +40,9 @@ class EvalResult:
 
     @property
     def accept_per_round(self):
-        """None when the engine doesn't track rounds (the fused pipeline
-        loop runs rounds on-device and reports rounds=-1)."""
+        """None only for engines that don't report rounds at all (every
+        in-repo engine now does — the fused pipeline loop counts them
+        on-device since r3)."""
         if self.total_rounds <= 0:
             return None
         return self.total_new_tokens / self.total_rounds
@@ -60,6 +62,7 @@ class EvalResult:
             "accept_per_round": (None if self.accept_per_round is None
                                  else round(self.accept_per_round, 3)),
             "accept_per_turn": round(self.accept_per_turn, 3),
+            "resume_hits": self.resume_hits,
         }
 
 
@@ -84,18 +87,52 @@ def run_eval(
     template: str = "vicuna",
     max_turns: int = 2,
     results_path: Optional[str] = None,
+    engine=None,
+    resume: bool = False,
+    max_new_tokens: Optional[int] = None,
+    eos_token_id: int = -1,
 ) -> EvalResult:
     """Multi-turn loop mirroring run_pipe_eval.py:200-320: each turn's
-    generated answer is appended to the conversation before the next turn."""
+    generated answer is appended to the conversation before the next turn.
+
+    With `engine` + `resume=True`, turn N rolls the kept engine state back
+    to the longest common token prefix of the new prompt and turn N-1's
+    output, then prefills ONLY the suffix via `resume_and_generate` —
+    committed KV row i holds stream token i, so any shared prefix is
+    reusable even when the chat template re-punctuates the boundary (the
+    vicuna template inserts a space before the recorded answer) or a BPE
+    tokenizer re-merges across it. The reference re-prefills the whole
+    conversation every turn (eval/run_pipe_eval.py:200-320)."""
     res = EvalResult(name=name)
     for q in questions:
         convo: List[tuple] = []
+        state = None
+        prev_out: Optional[list] = None
         for turn_text in q.get("turns", [])[:max_turns]:
             convo.append((turn_text, None))
             prompt = build_prompt(convo, template=template)
-            tokens = list(tokenize(prompt))
+            tokens = [int(t) for t in tokenize(prompt)]
             t0 = time.perf_counter()
-            out, stats = generate(tokens)
+            if engine is not None and resume:
+                lcp = 0
+                if state is not None:
+                    prev = [int(t) for t in prev_out]
+                    m = min(len(tokens) - 1, len(prev))
+                    while lcp < m and tokens[lcp] == prev[lcp]:
+                        lcp += 1
+                if lcp >= 2:
+                    out, stats, state = engine.resume_and_generate(
+                        state, tokens[:lcp], tokens[lcp:],
+                        max_new_tokens=max_new_tokens,
+                        eos_token_id=eos_token_id, return_state=True)
+                    res.resume_hits += 1
+                else:
+                    out, stats, state = engine.generate(
+                        tokens, max_new_tokens=max_new_tokens,
+                        eos_token_id=eos_token_id, return_state=True)
+                prev_out = out
+            else:
+                out, stats = generate(tokens)
             dt = time.perf_counter() - t0
             answer_tokens = out[len(tokens):]
             answer = detokenize(answer_tokens)
@@ -104,8 +141,6 @@ def run_eval(
             res.total_new_tokens += stats.get("new_tokens",
                                               len(answer_tokens))
             res.total_decode_s += dt
-            # the fused pipeline loop reports rounds=-1 (rounds are not
-            # tracked on-device); don't let the sentinel poison the mean
             res.total_rounds += max(stats.get("rounds", 0), 0)
             res.total_turns += stats.get("turns", stats.get("rounds", 0))
             res.n_conv_turns += 1

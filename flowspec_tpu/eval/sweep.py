@@ -42,7 +42,7 @@ def byte_tokenizer(vocab_size: int):
     return tok, detok
 
 
-def build_engine(args, mc, tc, params, draft):
+def build_engine(args, mc, tc, params, draft, temperature: float):
     import jax
     from flowspec_tpu.config import (
         EngineConfig, SamplingConfig, StageTopology,
@@ -50,7 +50,7 @@ def build_engine(args, mc, tc, params, draft):
 
     cfg = EngineConfig(
         model=mc, tree=tc,
-        sampling=SamplingConfig(temperature=args.temperature),
+        sampling=SamplingConfig(temperature=temperature),
         topology=StageTopology.even(mc.num_hidden_layers, args.stages),
         max_new_tokens=args.max_new_tokens,
         max_seq_len=args.max_seq_len)
@@ -85,7 +85,22 @@ def main(argv=None):
     ap.add_argument("--chunk-lens", default="16", help="comma list")
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--total-tokens", type=int, default=80)
+    ap.add_argument("--temperatures", default=None,
+                    help="comma list — outer sweep axis, like the "
+                         "reference's `temperatures` loop "
+                         "(eval/run_pipe_eval.py:191); overrides "
+                         "--temperature")
     ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--resume", action="store_true",
+                    help="multi-turn KV reuse: turn N prefills only the "
+                         "new tokens (engine resume_and_generate) instead "
+                         "of re-prefilling the whole conversation")
+    ap.add_argument("--trained-draft", default=None,
+                    help="npz thin-draft checkpoint "
+                         "(tools/train_bench_draft.py) to use instead of "
+                         "a random draft")
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "nf4", "int4", "mixed"])
     ap.add_argument("--max-new-tokens", type=int, default=64)
     ap.add_argument("--max-seq-len", type=int, default=2560)
     ap.add_argument("--template", default="vicuna")
@@ -130,24 +145,46 @@ def main(argv=None):
                              num_key_value_heads=16)
         else:
             mc = ModelConfig.llama_7b()
-        params = init_llama_params(jax.random.key(0), mc)
-        draft = init_eagle_params(jax.random.key(1), mc, embed=params.embed)
+        if args.quant != "none":
+            import sys as _sys
+            _sys.path.insert(0, os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))))
+            from bench import build_params
+            params, draft = build_params(mc, args.quant)
+        else:
+            params = init_llama_params(jax.random.key(0), mc)
+            draft = init_eagle_params(jax.random.key(1), mc,
+                                      embed=params.embed)
         tok, detok = byte_tokenizer(mc.vocab_size)
 
+    if args.trained_draft:
+        from flowspec_tpu.draft.eagle import (
+            load_thin_draft, quantize_eagle_params,
+        )
+        draft = load_thin_draft(args.trained_draft, params.embed)
+        if args.quant != "none":
+            draft = quantize_eagle_params(
+                draft, "int8" if args.quant == "mixed" else args.quant)
+
+    temps = ([float(x) for x in args.temperatures.split(",")]
+             if args.temperatures else [args.temperature])
     grid = list(itertools.product(
+        temps,
         [int(x) for x in args.depths.split(",")],
         [int(x) for x in args.expand_depths.split(",")],
         [int(x) for x in args.chunk_lens.split(",")]))
 
     rows = []
-    for depth, expand_depth, chunk_len in grid:
+    for temperature, depth, expand_depth, chunk_len in grid:
         tc = TreeConfig(top_k=args.top_k, depth=depth,
                         total_tokens=args.total_tokens,
                         expand_depth=expand_depth, chunk_len=chunk_len,
                         depth_cap=max(24, depth + expand_depth + 2))
-        eng = build_engine(args, mc, tc, params, draft)
+        eng = build_engine(args, mc, tc, params, draft, temperature)
         # prefer the fused on-device decode loop: the host round loop pays
-        # one dispatch RTT per round (~70ms through the tunneled backend)
+        # one dispatch RTT per round (~70ms through the tunneled backend).
+        # --resume uses the host round loop instead (resume keeps state
+        # across turns; its prefill saving targets multi-turn TTFT).
         gen_fn = getattr(eng, "generate_fused", eng.generate)
         gen = lambda toks: gen_fn(
             toks, max_new_tokens=args.max_new_tokens, eos_token_id=-1)
@@ -157,10 +194,16 @@ def main(argv=None):
             t0 = time.perf_counter()
             res = run_eval(gen, tok, detok, qs, name=name,
                            template=args.template,
-                           max_turns=args.max_conv_turns)
-            row = dict(depth=depth, expand_depth=expand_depth,
+                           max_turns=args.max_conv_turns,
+                           engine=eng if args.resume else None,
+                           resume=args.resume,
+                           max_new_tokens=args.max_new_tokens)
+            row = dict(temperature=temperature, depth=depth,
+                       expand_depth=expand_depth,
                        chunk_len=chunk_len, engine=args.engine,
                        schedule=args.schedule,
+                       draft=("trained" if args.trained_draft else "random"),
+                       quant=args.quant,
                        wall_s=round(time.perf_counter() - t0, 3),
                        **res.summary())
             rows.append(row)

@@ -429,10 +429,12 @@ class PipelineEngine:
         )
 
     # ------------------------------------------------------------------
-    def prefill(self, state: PipeState, prompt) -> PipeState:
+    def prefill(self, state: PipeState, prompt, start: int = 0) -> PipeState:
         """Pipelined chunked prefill (ref pipeline_prefill,
         pipeline_utils.py:183-288), then the draft context catches up over
-        the collected (next_token, hidden) pairs."""
+        the collected (next_token, hidden) pairs. `start` > 0 appends the
+        prompt at an existing committed position (multi-turn resume): the
+        caller must have rolled the KV/draft lengths back to `start`."""
         mc = self.cfg.model
         pc = self.cfg.prefill_chunk
         prompt = np.asarray(prompt, np.int32).reshape(-1)
@@ -451,7 +453,7 @@ class PipelineEngine:
             if t < n_chunks:
                 ct = jnp.asarray(padded[t * pc:(t + 1) * pc])
                 nv = jnp.asarray(min(pc, n - t * pc), jnp.int32)
-                cs = jnp.asarray(t * pc, jnp.int32)
+                cs = jnp.asarray(start + t * pc, jnp.int32)
             else:
                 ct = jnp.zeros((pc,), jnp.int32)
                 nv = jnp.zeros((), jnp.int32)
@@ -484,7 +486,7 @@ class PipelineEngine:
         # the root pair (root, h_last) stays pending for round 1
         state = dataclasses.replace(
             state, key=key, root_token=root,
-            commit_len=jnp.asarray(n, jnp.int32),
+            commit_len=jnp.asarray(start + n, jnp.int32),
             pend_tok=jnp.zeros((self.ctx,), jnp.int32).at[0].set(root),
             pend_hid=jnp.zeros_like(state.pend_hid).at[0, 0].set(
                 jnp.asarray(all_h[-1], dt)),
@@ -493,7 +495,7 @@ class PipelineEngine:
 
     # ------------------------------------------------------------------
     def generate_fused(self, prompt, max_new_tokens=None, eos_token_id=2,
-                       seed: int = 0):
+                       seed: int = 0, return_state: bool = False):
         """Whole multi-round decode in ONE device program (no host
         round-trips between rounds) — the multi-chip production path."""
         max_new = max_new_tokens or self.cfg.max_new_tokens
@@ -512,17 +514,25 @@ class PipelineEngine:
             if int(t) == eos_token_id or new_tokens >= max_new:
                 break
         rounds = int(res.rounds)
-        return out, {"new_tokens": new_tokens, "turns": int(res.turns),
-                     "rounds": rounds, "skips": int(res.skips),
-                     "ne_fires": int(res.ne_fires),
-                     "accept_per_round": new_tokens / max(rounds, 1)}
+        stats = {"new_tokens": new_tokens, "turns": int(res.turns),
+                 "rounds": rounds, "skips": int(res.skips),
+                 "ne_fires": int(res.ne_fires),
+                 "accept_per_round": new_tokens / max(rounds, 1)}
+        if return_state:
+            return out, stats, state
+        return out, stats
 
     def generate(self, prompt, max_new_tokens=None, eos_token_id=2,
-                 seed: int = 0):
+                 seed: int = 0, return_state: bool = False):
         max_new = max_new_tokens or self.cfg.max_new_tokens
         state = self.init_state(seed)
         state = self.prefill(state, prompt)
         out = list(np.asarray(prompt, np.int64))
+        return self._decode_host(state, out, max_new, eos_token_id,
+                                 return_state)
+
+    def _decode_host(self, state, out, max_new, eos_token_id,
+                     return_state: bool = False):
         new_tokens = 0
         rounds = 0
         turns_total = 0
@@ -548,10 +558,54 @@ class PipelineEngine:
                     break
             if stop or int(res.n_out) == 0:
                 break
-        return out, {"new_tokens": new_tokens, "rounds": rounds,
-                     "turns": turns_total, "skips": skips_total,
-                     "ne_fires": ne_total,
-                     "accept_per_round": new_tokens / max(rounds, 1)}
+        stats = {"new_tokens": new_tokens, "rounds": rounds,
+                 "turns": turns_total, "skips": skips_total,
+                 "ne_fires": ne_total,
+                 "accept_per_round": new_tokens / max(rounds, 1)}
+        if return_state:
+            return out, stats, state
+        return out, stats
+
+    def resume_and_generate(self, state: PipeState, history, extra_prompt,
+                            max_new_tokens=None, eos_token_id: int = 2,
+                            return_state: bool = False):
+        """Multi-turn continuation with KV reuse on the PIPELINE engine:
+        append `extra_prompt` (the next user turn) to a finished generation
+        and keep decoding, prefilling ONLY the new tokens through the ring.
+        Same contract and rollback rule as SpecEngine.resume_and_generate
+        (runtime/engine.py): `history` is the exact token stream the
+        previous generate/resume call on this `state` returned; the state
+        rolls back to len(history)-1 commits (the engine may have committed
+        past the stream — budget stops fall mid-round and the next root is
+        sampled ahead) and the boundary token history[-1] re-forwards as
+        the first token of the continuation chunk. The reference instead
+        re-prefills the whole conversation every turn
+        (eval/run_pipe_eval.py:200-320)."""
+        max_new = max_new_tokens or self.cfg.max_new_tokens
+        history = list(np.asarray(history, np.int64).reshape(-1))
+        extra = list(np.asarray(extra_prompt, np.int64).reshape(-1))
+        keep = len(history) - 1
+        assert keep >= 0 and extra, (len(history), len(extra))
+        tc = self.cfg.tree
+        need = len(history) + len(extra) + max_new + tc.depth_cap + 1
+        if need > self.cfg.max_seq_len:
+            raise ValueError(
+                f"history+extra+max_new+depth_cap = {need} exceeds "
+                f"max_seq_len {self.cfg.max_seq_len}")
+        mk32 = lambda v: jnp.asarray(np.int32(v))
+        state = dataclasses.replace(
+            state,
+            kv=dataclasses.replace(state.kv, length=mk32(keep)),
+            draft_cache=dataclasses.replace(state.draft_cache,
+                                            length=mk32(keep)),
+            commit_len=mk32(keep),
+            pend_tok=jnp.zeros_like(state.pend_tok),
+            pend_hid=jnp.zeros_like(state.pend_hid),
+            pend_n=jnp.zeros((), jnp.int32))
+        state = self.prefill(state, [history[-1]] + [int(t) for t in extra],
+                             start=keep)
+        return self._decode_host(state, history + extra, max_new,
+                                 eos_token_id, return_state)
 
 
 # ======================================================================

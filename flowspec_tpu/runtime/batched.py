@@ -150,6 +150,10 @@ class BatchedSpecEngine(SpecEngine):
                         axis=1)
                     em2 = em + n_j
                     fin = (req >= 0) & (eos_hit | (em2 >= bud))
+                    # a lane is refillable when its request just finished OR
+                    # it was already idle (streaming arrivals can repopulate
+                    # the queue after a lane drained it — serve_stream)
+                    free = fin | ((req < 0) & ~ctx3.active)
 
                     # record BEFORE refill: this round's tokens belong to
                     # the finishing request
@@ -158,36 +162,36 @@ class BatchedSpecEngine(SpecEngine):
                     accs2 = accs.at[i].set(row)
 
                     # ---- device-side refill ------------------------------
-                    qidx = qh + jnp.cumsum(fin.astype(jnp.int32)) - 1
-                    has = fin & (qidx < n_q)
+                    qidx = qh + jnp.cumsum(free.astype(jnp.int32)) - 1
+                    has = free & (qidx < n_q)
                     qsafe = jnp.clip(qidx, 0, n_pad - 1)
-                    req2 = jnp.where(fin, jnp.where(has, qidx, -1), req)
-                    em3 = jnp.where(fin, 0, em2)
-                    bud2 = jnp.where(fin,
+                    req2 = jnp.where(free, jnp.where(has, qidx, -1), req)
+                    em3 = jnp.where(free, 0, em2)
+                    bud2 = jnp.where(free,
                                      jnp.where(has, q_budgets[qsafe], big),
                                      bud)
                     qh2 = qh + jnp.sum(has.astype(jnp.int32))
                     ctx4 = ServeCtx(
-                        prompt_buf=jnp.where(fin[:, None],
+                        prompt_buf=jnp.where(free[:, None],
                                              q_prompts[qsafe],
                                              ctx3.prompt_buf),
-                        prompt_len=jnp.where(fin, q_lens[qsafe],
+                        prompt_len=jnp.where(free, q_lens[qsafe],
                                              ctx3.prompt_len),
-                        prompt_pos=jnp.where(fin, 0, ctx3.prompt_pos),
-                        active=jnp.where(fin, has, ctx3.active))
-                    # reset the finishing lanes' engine state: scalars and
+                        prompt_pos=jnp.where(free, 0, ctx3.prompt_pos),
+                        active=jnp.where(free, has, ctx3.active))
+                    # reset the refilled lanes' engine state: scalars and
                     # pending buffers to zero, fresh per-request PRNG key;
                     # KV payloads stay (rows past commit_len are masked),
                     # only their lengths reset
                     z = lambda a: jnp.where(
-                        jnp.reshape(fin, fin.shape + (1,) * (a.ndim - 1)),
+                        jnp.reshape(free, free.shape + (1,) * (a.ndim - 1)),
                         jnp.zeros_like(a), a)
                     kd = jax.random.key_data(st3.key)
                     fresh = jax.vmap(
                         lambda r: jax.random.key_data(
                             jax.random.key(seed + jnp.maximum(r, 0))))(req2)
                     key2 = jax.random.wrap_key_data(
-                        jnp.where(fin[:, None], fresh, kd),
+                        jnp.where(free[:, None], fresh, kd),
                         impl=jax.random.key_impl(st3.key))
                     st4 = EngineState(
                         base_cache=KVCache(k=st3.base_cache.k,
@@ -473,3 +477,167 @@ class BatchedSpecEngine(SpecEngine):
                                          for r in range(n_req)],
                       "slot_utilization": busy_slot_rounds
                       / max(rounds * b, 1)}
+
+    # ------------------------------------------------------------------
+    def serve_stream(self, prompts: Sequence, arrivals_s: Sequence[float],
+                     max_new_tokens=None, eos_token_id: int = 2,
+                     seed: int = 0, rounds_per_dispatch: int = 8,
+                     clock=None):
+        """Streaming-arrival continuous batching: request r only becomes
+        admittable `arrivals_s[r]` seconds after serving starts. Between
+        device dispatches the host appends newly-arrived requests to the
+        device-resident queue (the dispatch donates lane state but not the
+        queue arrays) and fills any fully-idle batch; lanes that free up
+        mid-dispatch pick arrivals up in-program (see _get_serve_scan's
+        idle-lane refill). `rounds_per_dispatch` is therefore the admission
+        granularity — small K admits sooner, large K amortizes dispatch RTT
+        (the tradeoff EngineConfig documents for serve()).
+
+        Validates the admission story r2's verdict flagged as unmeasured:
+        returns per-request arrival->admission and arrival->completion
+        wall latencies plus the exact on-device rounds accounting.
+        `clock` (a () -> seconds callable) injects fake time for tests."""
+        import time as _time
+        n_req = len(prompts)
+        assert len(arrivals_s) == n_req, (len(arrivals_s), n_req)
+        if max_new_tokens is None:
+            budgets = [self.cfg.max_new_tokens] * n_req
+        elif np.ndim(max_new_tokens) == 0:
+            budgets = [int(max_new_tokens)] * n_req
+        else:
+            budgets = [int(x) for x in max_new_tokens]
+        b = self.batch_size
+        k = max(1, int(rounds_per_dispatch))
+        for p, mx in zip(prompts, budgets):
+            self._check_budget(p, mx)
+        # arrival order must be queue order (the device consumes the queue
+        # front-to-back)
+        order = sorted(range(n_req), key=lambda r: arrivals_s[r])
+        scan_k = self._get_serve_scan(k)
+        outs: List[list] = [list(np.asarray(p, np.int64)) for p in prompts]
+        new_tokens = [0] * n_req
+        finished = [False] * n_req
+        admit_round = [-1] * n_req
+        finish_round = [0] * n_req
+        admit_s = [0.0] * n_req
+        finish_s = [0.0] * n_req
+
+        p_cap = self.cfg.max_seq_len
+        n_pad = max(8, 1 << (n_req - 1).bit_length())
+        q_prompts = np.zeros((n_pad, p_cap), np.int32)
+        q_lens = np.zeros((n_pad,), np.int32)
+        q_budgets = np.zeros((n_pad,), np.int32)
+        for qpos, r in enumerate(order):
+            pr = np.asarray(prompts[r], np.int32).reshape(-1)
+            q_prompts[qpos, :len(pr)] = pr
+            q_lens[qpos] = len(pr)
+            q_budgets[qpos] = budgets[r]
+        q_prompts = jnp.asarray(q_prompts)
+        q_lens = jnp.asarray(q_lens)
+        q_budgets = jnp.asarray(q_budgets)
+
+        t0 = _time.perf_counter()
+        now = (lambda: _time.perf_counter() - t0) if clock is None else clock
+        states = [self.init_state(seed + 1000 + s) for s in range(b)]
+        ctxs = [self._serve_ctx(None) for _ in range(b)]
+        batched = self._stack_states(states)
+        bctx = self._stack_states(ctxs)
+        lane_req = jnp.full((b,), -1, jnp.int32)   # values index `order`
+        emitted = jnp.zeros((b,), jnp.int32)
+        lane_budget = jnp.full((b,), 2 ** 30, jnp.int32)
+        qhead = jnp.asarray(0, jnp.int32)
+
+        rounds = 0
+        busy_slot_rounds = 0
+        while not all(finished):
+            t = now()
+            n_arrived = sum(1 for r in order if arrivals_s[r] <= t)
+            # all lanes idle and nothing arrived yet: wait for the next
+            # arrival instead of spinning empty dispatches
+            if n_arrived <= int(qhead) and not np.any(np.asarray(lane_req)
+                                                      >= 0):
+                nxt = min((arrivals_s[r] for r in order
+                           if arrivals_s[r] > t), default=None)
+                if nxt is None:
+                    break
+                if clock is None:
+                    _time.sleep(max(0.0, nxt - now()))
+                continue
+            # host fill: idle lanes take arrived queue entries directly
+            # (the device path needs >= 1 active lane to run rounds)
+            lane_np = np.array(lane_req)       # writable copy
+            qh = int(qhead)
+            for s in range(b):
+                if lane_np[s] < 0 and qh < n_arrived:
+                    r = order[qh]
+                    st = self.init_state(seed + r)
+                    batched = self._write_slot(batched, st, s)
+                    bctx = self._write_slot(bctx, self._serve_ctx(
+                        prompts[r]), s)
+                    lane_np[s] = qh
+                    emitted = emitted.at[s].set(0)
+                    lane_budget = lane_budget.at[s].set(budgets[r])
+                    qh += 1
+            lane_req = jnp.asarray(lane_np)
+            qhead = jnp.asarray(qh, jnp.int32)
+            for qpos in range(qh):
+                r = order[qpos]
+                if admit_round[r] < 0:
+                    admit_round[r] = rounds
+                    admit_s[r] = now()
+
+            (batched, bctx, lane_req, emitted, lane_budget, qhead,
+             packed) = scan_k(
+                batched, self.params, self.draft, self.beam_head, bctx,
+                lane_req, emitted, lane_budget, qhead,
+                q_prompts, q_lens, q_budgets,
+                jnp.asarray(n_arrived, jnp.int32),
+                jnp.asarray(eos_token_id, jnp.int32),
+                jnp.asarray(seed, jnp.int32))
+            packed = np.asarray(packed)
+            n_exec = int(packed[-1, 0, 0])
+            accs = packed[:-1, :, :-2]
+            naccs = packed[:-1, :, -2]
+            reqs = packed[:-1, :, -1]
+            t_end = now()
+            for j in range(n_exec):
+                for s in range(b):
+                    qpos = int(reqs[j, s])
+                    if qpos < 0:
+                        continue
+                    r = order[qpos]
+                    if finished[r]:
+                        continue
+                    if admit_round[r] < 0:     # admitted in-device
+                        admit_round[r] = rounds + j
+                        admit_s[r] = t_end
+                    busy_slot_rounds += 1
+                    for tk in accs[j, s][:naccs[j, s]]:
+                        outs[r].append(int(tk))
+                        new_tokens[r] += 1
+                        if int(tk) == eos_token_id or \
+                                new_tokens[r] >= budgets[r]:
+                            finished[r] = True
+                            finish_round[r] = rounds + j + 1
+                            finish_s[r] = t_end
+                            break
+            rounds += max(n_exec, 0)
+            if n_exec == 0 and clock is not None:
+                # fake clock with nothing runnable: let the test advance it
+                continue
+        lat_admit = [admit_s[r] - arrivals_s[r] for r in range(n_req)]
+        lat_total = [finish_s[r] - arrivals_s[r] for r in range(n_req)]
+        q = lambda xs, p_: float(np.percentile(np.asarray(xs), p_))
+        total = sum(new_tokens)
+        return outs, {
+            "new_tokens": total, "rounds": rounds,
+            "per_request": new_tokens,
+            "latency_rounds": [finish_round[r] - admit_round[r]
+                               for r in range(n_req)],
+            "admission_s": lat_admit,
+            "completion_s": lat_total,
+            "admission_p50_s": q(lat_admit, 50),
+            "admission_p95_s": q(lat_admit, 95),
+            "completion_p50_s": q(lat_total, 50),
+            "completion_p95_s": q(lat_total, 95),
+            "slot_utilization": busy_slot_rounds / max(rounds * b, 1)}

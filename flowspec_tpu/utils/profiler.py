@@ -25,6 +25,7 @@ class Profiler:
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
         self.stream: list[tuple[str, float]] = []   # (event, t) timestamps
+        self.memory: dict[str, dict] = {}           # memory_context results
         self._t0 = time.perf_counter()
         self._open: dict[str, float] = {}
 
@@ -76,12 +77,59 @@ class Profiler:
         finally:
             jax.profiler.stop_trace()
 
+    # ---- device memory (ref memory_context/profile_context,
+    # profiler/profiler.py:137-194: named sections record allocated/peak
+    # deltas; their CUDA counters map to PJRT memory_stats) --------------
+    @staticmethod
+    def memory_stats(device=None) -> dict:
+        """{'bytes_in_use', 'peak_bytes_in_use', 'bytes_limit'} for the
+        device (zeros when the backend exposes no stats, e.g. CPU)."""
+        d = device or jax.local_devices()[0]
+        st = d.memory_stats() or {}
+        return {"bytes_in_use": int(st.get("bytes_in_use", 0)),
+                "peak_bytes_in_use": int(st.get("peak_bytes_in_use", 0)),
+                "bytes_limit": int(st.get("bytes_limit", 0))}
+
+    @contextlib.contextmanager
+    def memory_context(self, name: str, device=None, sync_on=None):
+        """Record the named section's allocated-bytes delta and the peak
+        observed across it (OOM has been this repo's #1 hardware failure
+        mode; see ROADMAP r1 #2). Results land in `self.memory[name]` as
+        {'alloc_delta', 'peak', 'count'} and the timestamp stream gets
+        start/stop events like time_context."""
+        before = self.memory_stats(device)
+        self.start(name)
+        try:
+            yield
+        finally:
+            self._maybe_sync(sync_on)
+            self.stop(name)
+            after = self.memory_stats(device)
+            m = self.memory.setdefault(
+                name, {"alloc_delta": 0, "peak": 0, "count": 0})
+            m["alloc_delta"] += (after["bytes_in_use"]
+                                 - before["bytes_in_use"])
+            m["peak"] = max(m["peak"], after["peak_bytes_in_use"])
+            m["count"] += 1
+
+    @contextlib.contextmanager
+    def profile_context(self, name: str, device=None, sync_on=None):
+        """time_context + memory_context in one (ref profile_context,
+        profiler/profiler.py:196-220)."""
+        with self.memory_context(name, device=device, sync_on=sync_on):
+            yield
+
     def summary(self) -> dict:
-        return {name: {"total_s": round(self.totals[name], 6),
-                       "count": self.counts[name],
-                       "mean_ms": round(1e3 * self.totals[name]
-                                        / max(self.counts[name], 1), 3)}
-                for name in sorted(self.totals)}
+        out = {name: {"total_s": round(self.totals[name], 6),
+                      "count": self.counts[name],
+                      "mean_ms": round(1e3 * self.totals[name]
+                                       / max(self.counts[name], 1), 3)}
+               for name in sorted(self.totals)}
+        for name, m in self.memory.items():
+            out.setdefault(name, {}).update(
+                {"alloc_delta_mb": round(m["alloc_delta"] / 2 ** 20, 2),
+                 "peak_mb": round(m["peak"] / 2 ** 20, 2)})
+        return out
 
     def save(self, path: str):
         """Ref: save_as -> records/*.rec (profiler/profiler.py:14-16)."""
@@ -92,6 +140,7 @@ class Profiler:
         self.totals.clear()
         self.counts.clear()
         self.stream.clear()
+        self.memory.clear()
         self._open.clear()
         self._t0 = time.perf_counter()
 

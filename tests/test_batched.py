@@ -194,3 +194,36 @@ def test_serve_force_accept_multi_token_commits():
     # request, 2 slots, 4 requests — far fewer than the 14 rounds the
     # acceptance-1 path needs
     assert stats["rounds"] <= 12, stats
+
+
+def test_serve_stream_arrivals():
+    """Streaming-arrival serving (r2 verdict #9): requests become
+    admittable over time; outputs still equal the solo AR runs, arrivals
+    that land while lanes are busy are picked up by the device-side
+    refill, and the latency accounting comes back populated."""
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(3, 14, 6 + i).tolist() for i in range(5)]
+    refs = [eng.generate_ar(p, max_new_tokens=6, eos_token_id=-1)[0]
+            for p in prompts]
+
+    class FakeClock:
+        t = 0.0
+
+        def __call__(self):
+            FakeClock.t += 0.05
+            return FakeClock.t
+
+    # 0,1 arrive immediately; 2,3 while lanes are busy; 4 much later
+    # (exercises the all-idle wait + host-fill path)
+    arrivals = [0.0, 0.0, 0.3, 0.5, 30.0]
+    outs, stats = eng.serve_stream(prompts, arrivals, max_new_tokens=6,
+                                   eos_token_id=-1, rounds_per_dispatch=3,
+                                   clock=FakeClock())
+    for i in range(5):
+        assert outs[i] == refs[i], (i, outs[i], refs[i])
+    assert stats["per_request"] == [6] * 5
+    assert len(stats["admission_s"]) == 5
+    assert all(a >= 0 for a in stats["admission_s"])
+    assert stats["completion_p95_s"] >= stats["completion_p50_s"] > 0
+    assert all(lr > 0 for lr in stats["latency_rounds"])

@@ -127,3 +127,43 @@ def test_resume_after_eos_cut():
                                       max_new_tokens=9, eos_token_id=-1)
     ref, _ = eng.generate(out1 + extra, max_new_tokens=9, eos_token_id=-1)
     assert out2 == ref
+
+
+def test_pipeline_resume_matches_full_prefill():
+    """PipelineEngine.resume_and_generate (r2 verdict #4): continuing from
+    a kept PipeState must equal a fresh full-history pipelined run — and
+    both must equal the single-chip engine (losslessness chain)."""
+    from flowspec_tpu.config import StageTopology
+    from flowspec_tpu.parallel import PipelineEngine
+    mc = ModelConfig.tiny(vocab_size=64, n_layers=4)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    base = init_llama_params(jax.random.key(0), mc, dtype=jnp.float32)
+    draft = init_eagle_params(jax.random.key(9), mc, embed=base.embed,
+                              dtype=jnp.float32)
+    tc = TreeConfig(top_k=6, depth=4, total_tokens=20, expand_tokens=10,
+                    expand_depth=2, node_cap=48, leaf_cap=48, depth_cap=12,
+                    chunk_len=6, chunk_cap=12)
+    cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                       max_seq_len=256, prefill_chunk=8,
+                       topology=StageTopology.even(4, 4))
+    eng = PipelineEngine(base, draft, cfg, schedule="continuous")
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, 64, 11).tolist()
+    out1, st1, state = eng.generate(prompt, max_new_tokens=10,
+                                    eos_token_id=-1, return_state=True)
+    extra = rng.integers(0, 64, 7).tolist()
+    # (the round programs donate the carried state, so a state feeds
+    # exactly one continuation — same contract as SpecEngine)
+    out2, st2, state2 = eng.resume_and_generate(
+        state, out1, extra, max_new_tokens=10, eos_token_id=-1,
+        return_state=True)
+    ref, _ = eng.generate(out1 + extra, max_new_tokens=10, eos_token_id=-1)
+    assert out2 == ref, (out2, ref)
+    assert st2["new_tokens"] == 10
+
+    # chain a third turn off the second
+    e3 = rng.integers(0, 64, 4).tolist()
+    out3, _ = eng.resume_and_generate(state2, out2, e3, max_new_tokens=8,
+                                      eos_token_id=-1)
+    ref3, _ = eng.generate(out2 + e3, max_new_tokens=8, eos_token_id=-1)
+    assert out3 == ref3

@@ -125,3 +125,66 @@ def test_show_timestamps_renders(tmp_path, capsys):
     show_timestamps.main([str(rec), "--top", "2"])
     out = capsys.readouterr().out
     assert "turn0" in out and "top 2 gaps" in out
+
+
+def test_run_eval_resume_matches_full_prefill():
+    """--resume (r2 verdict #4): the harness multi-turn loop continuing via
+    resume_and_generate must produce the same answers as full re-prefill,
+    and must actually take the resume path (byte tokenizer is prefix-exact)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flowspec_tpu.config import (
+        EngineConfig, ModelConfig, SamplingConfig, TreeConfig,
+    )
+    from flowspec_tpu.draft.eagle import init_eagle_params
+    from flowspec_tpu.models.llama import init_llama_params
+    from flowspec_tpu.runtime.engine import SpecEngine
+    from flowspec_tpu.eval.sweep import byte_tokenizer
+
+    mc = ModelConfig.tiny(vocab_size=512, n_layers=2)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    base = init_llama_params(jax.random.key(0), mc, dtype=jnp.float32)
+    draft = init_eagle_params(jax.random.key(9), mc, embed=base.embed,
+                              dtype=jnp.float32)
+    tc = TreeConfig(top_k=4, depth=3, total_tokens=12, node_cap=24,
+                    leaf_cap=24, depth_cap=8, chunk_len=8)
+    cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                       max_seq_len=512, prefill_chunk=16)
+    eng = SpecEngine(base, draft, cfg)
+    tok, detok = byte_tokenizer(mc.vocab_size)
+    qs = [{"question_id": 1, "turns": ["What is a tree?", "And a leaf?"]}]
+
+    gen = lambda t: eng.generate(t, max_new_tokens=12, eos_token_id=-1)
+    base_res = run_eval(gen, tok, detok, qs, max_turns=2)
+    res = run_eval(gen, tok, detok, qs, max_turns=2,
+                   engine=eng, resume=True, max_new_tokens=12)
+    assert res.resume_hits == 1            # turn 2 resumed
+    assert res.total_new_tokens == base_res.total_new_tokens == 24
+    # greedy determinism: the resumed second turn saw the same context, so
+    # totals (and the underlying token streams) match the re-prefill run
+    assert res.total_rounds == base_res.total_rounds
+
+
+def test_profiler_memory_context():
+    """memory_context (ref profiler/profiler.py:137-194): allocated-delta
+    and peak land in the summary. CPU backend exposes no stats -> the
+    context still works and reports zeros."""
+    import jax
+    import jax.numpy as jnp
+    from flowspec_tpu.utils.profiler import Profiler
+    p = Profiler(sync=True)
+    with p.memory_context("alloc"):
+        x = jnp.ones((256, 256), jnp.float32) * 2.0
+        jax.block_until_ready(x)
+    s = p.summary()
+    assert "alloc" in s and "alloc_delta_mb" in s["alloc"]
+    assert s["alloc"]["count"] == 1 and s["alloc"]["total_s"] > 0
+    stats = Profiler.memory_stats()
+    assert set(stats) == {"bytes_in_use", "peak_bytes_in_use",
+                          "bytes_limit"}
+    with p.profile_context("both"):
+        pass
+    assert "both" in p.summary()
+    p.reset()
+    assert p.memory == {}

@@ -39,14 +39,15 @@ if _ROOT not in sys.path:
 import numpy as np
 
 SCALE = os.environ.get("TRAIN_SCALE", "7b")
-STEPS = int(os.environ.get("TRAIN_STEPS", "4000"))
+STEPS = int(os.environ.get("TRAIN_STEPS", "8000"))
 ROLLOUTS = int(os.environ.get("TRAIN_ROLLOUTS", "40"))
 WIDTH = int(os.environ.get("TRAIN_WIDTH", "1024"))
-BATCH = int(os.environ.get("TRAIN_BATCH", "4"))
+BATCH = int(os.environ.get("TRAIN_BATCH", "8"))
 GEN_TOKENS = int(os.environ.get("TRAIN_GEN_TOKENS", "256"))
 PROMPT_LEN = 64
 LR = float(os.environ.get("TRAIN_LR", "1e-3"))
-HIDDEN_W, CE_W = 1.0, 0.3
+HIDDEN_W = float(os.environ.get("TRAIN_HIDDEN_W", "0.5"))
+CE_W = float(os.environ.get("TRAIN_CE_W", "1.0"))
 
 
 def configs():
@@ -100,46 +101,59 @@ def main():
 
     # ---- 1. greedy rollouts (bench prompt distribution, seeds 1..R) -----
     seq_len = PROMPT_LEN + GEN_TOKENS
-    t0 = time.time()
-    seqs = []
-    for r in range(1, ROLLOUTS + 1):
-        vmax = min(1000, mc.vocab_size)
-        prompt = np.random.default_rng(r).integers(10, vmax, PROMPT_LEN)
-        out, _ = eng.generate_ar_fused(prompt, max_new_tokens=GEN_TOKENS,
-                                       eos_token_id=-1)
-        seqs.append(np.asarray(out[:seq_len], np.int32))
-        if r % 10 == 0:
-            print(f"rollout {r}/{ROLLOUTS} ({time.time()-t0:.0f}s)",
-                  flush=True)
-    tokens = np.stack(seqs)                                   # (R, T)
-    uniq = [len(set(s[PROMPT_LEN:].tolist())) for s in seqs]
-    print(f"rollouts: {tokens.shape}, unique-gen-token counts "
-          f"min/med/max = {min(uniq)}/{sorted(uniq)[len(uniq)//2]}/"
-          f"{max(uniq)}", flush=True)
+    cache_path = f"/tmp/flowspec_corpus_{SCALE}_{ROLLOUTS}x{seq_len}.npz"
+    if os.path.exists(cache_path):
+        z = np.load(cache_path)
+        tokens = z["tokens"]
+        hiddens = jnp.asarray(z["hiddens"].view(np.uint16)).view(
+            jnp.bfloat16) if z["hiddens"].dtype == np.uint16 else \
+            jnp.asarray(z["hiddens"], dt)
+        print(f"corpus cache hit: {cache_path}", flush=True)
+    else:
+        t0 = time.time()
+        seqs = []
+        for r in range(1, ROLLOUTS + 1):
+            vmax = min(1000, mc.vocab_size)
+            prompt = np.random.default_rng(r).integers(10, vmax, PROMPT_LEN)
+            out, _ = eng.generate_ar_fused(prompt, max_new_tokens=GEN_TOKENS,
+                                           eos_token_id=-1)
+            seqs.append(np.asarray(out[:seq_len], np.int32))
+            if r % 10 == 0:
+                print(f"rollout {r}/{ROLLOUTS} ({time.time()-t0:.0f}s)",
+                      flush=True)
+        tokens = np.stack(seqs)                                   # (R, T)
+        uniq = [len(set(s[PROMPT_LEN:].tolist())) for s in seqs]
+        print(f"rollouts: {tokens.shape}, unique-gen-token counts "
+              f"min/med/max = {min(uniq)}/{sorted(uniq)[len(uniq)//2]}/"
+              f"{max(uniq)}", flush=True)
 
-    # ---- 2. teacher hiddens (full-context forward, bf16) ----------------
-    kv_rows = -(-seq_len // 256) * 256
+        # ---- 2. teacher hiddens (full-context forward, bf16) ------------
+        kv_rows = -(-seq_len // 256) * 256
 
-    @jax.jit
-    def hiddens_of(params, seq):
-        cache = init_kv_cache(mc.num_hidden_layers, 1,
-                              mc.num_key_value_heads, kv_rows,
-                              mc.head_dim_, dt)
-        hidden = embed_tokens(params, seq[None])
-        bias = prefill_bias(jnp.zeros((), jnp.int32), seq_len, kv_rows)
-        pos = jnp.arange(seq_len, dtype=jnp.int32)
-        out, _ = model_forward(params, cache, hidden, pos, bias,
-                               jnp.zeros((), jnp.int32), mc)
-        return final_hidden(params, out, mc)[0]               # (T, H) bf16
+        @jax.jit
+        def hiddens_of(params, seq):
+            cache = init_kv_cache(mc.num_hidden_layers, 1,
+                                  mc.num_key_value_heads, kv_rows,
+                                  mc.head_dim_, dt)
+            hidden = embed_tokens(params, seq[None])
+            bias = prefill_bias(jnp.zeros((), jnp.int32), seq_len, kv_rows)
+            pos = jnp.arange(seq_len, dtype=jnp.int32)
+            out, _ = model_forward(params, cache, hidden, pos, bias,
+                                   jnp.zeros((), jnp.int32), mc)
+            return final_hidden(params, out, mc)[0]           # (T, H) bf16
 
-    t0 = time.time()
-    hid_list = []
-    for r in range(ROLLOUTS):
-        hid_list.append(hiddens_of(params, jnp.asarray(tokens[r])))
-    hiddens = jnp.stack(hid_list)                             # (R, T, H)
-    float(jnp.sum(hiddens[0, 0, :4].astype(jnp.float32)))     # sync
-    print(f"teacher hiddens {hiddens.shape} in {time.time()-t0:.0f}s",
-          flush=True)
+        t0 = time.time()
+        hid_list = []
+        for r in range(ROLLOUTS):
+            hid_list.append(hiddens_of(params, jnp.asarray(tokens[r])))
+        hiddens = jnp.stack(hid_list)                         # (R, T, H)
+        float(jnp.sum(hiddens[0, 0, :4].astype(jnp.float32)))  # sync
+        print(f"teacher hiddens {hiddens.shape} in {time.time()-t0:.0f}s",
+              flush=True)
+        hnp = np.asarray(hiddens)
+        np.savez(cache_path, tokens=tokens,
+                 hiddens=hnp.view(np.uint16) if hnp.dtype.name == "bfloat16"
+                 else hnp)
 
     # ---- 3. train the thin draft ----------------------------------------
     h = mc.hidden_size
@@ -157,10 +171,10 @@ def main():
     tok_dev = jnp.asarray(tokens)
     t_pairs = seq_len - 1
 
-    def draft_forward(trainable, tok_b, hid_b):
+    def draft_forward(trainable, embed, tok_b, hid_b):
         """Teacher-forced pairs (token_{i+1}, hidden_i) -> predicted
         hidden_{i+1} in base H space. hid_b (B, T, H) bf16 -> f32."""
-        p = EagleParams(embed=frozen_embed, **trainable)
+        p = EagleParams(embed=embed, **trainable)
         x = fuse(p, tok_b[:, 1:], hid_b[:, :-1].astype(jnp.float32))
         pos = jnp.arange(t_pairs, dtype=jnp.int32)
         i = pos[:, None]
@@ -177,50 +191,63 @@ def main():
 
         return jax.vmap(one)(x)                               # (B, T-1, H)
 
-    def loss_fn(trainable, tok_b, hid_b):
-        out = draft_forward(trainable, tok_b, hid_b)
+    def loss_fn(trainable, consts, tok_b, hid_b):
+        out = draft_forward(trainable, consts["embed"], tok_b, hid_b)
         tgt = hid_b[:, 1:].astype(jnp.float32)
         d = out - tgt
         ad = jnp.abs(d)
         hub = jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5).mean()
-        ld = jnp.einsum("bth,hv->btv", out.astype(dt), head,
+        ld = jnp.einsum("bth,hv->btv", out.astype(dt), consts["head"],
                         preferred_element_type=jnp.float32)
-        lt = jnp.einsum("bth,hv->btv", hid_b[:, 1:], head,
+        lt = jnp.einsum("bth,hv->btv", hid_b[:, 1:], consts["head"],
                         preferred_element_type=jnp.float32)
-        pt = jax.nn.softmax(lt, axis=-1)
-        ce = -(pt * jax.nn.log_softmax(ld, axis=-1)).sum(-1).mean()
-        return HIDDEN_W * hub + CE_W * ce, (hub, ce)
+        # HARD-label CE on the teacher's argmax: greedy acceptance is won
+        # by top-1 agreement, and a random base's softmax is near-flat
+        # (top-p ~1e-3), so soft distillation barely moves top-1 (measured:
+        # soft-CE run plateaued at accept 1.0). Hard labels optimize the
+        # acceptance objective directly.
+        lab = jnp.argmax(lt, axis=-1)
+        lp = jax.nn.log_softmax(ld, axis=-1)
+        ce = -jnp.take_along_axis(lp, lab[..., None], axis=-1).mean()
+        agree = (jnp.argmax(ld, axis=-1) == lab).mean()
+        return HIDDEN_W * hub + CE_W * ce, (hub, ce, agree)
 
     trainable = {f: getattr(draft0, f) for f in _FIELDS}
     sched = optax.cosine_decay_schedule(LR, STEPS, 0.02)
     opt = optax.adamw(sched, weight_decay=1e-4)
     opt_state = opt.init(trainable)
 
-    def one_step(carry, it):
+    def one_step(carry, it, consts):
         trainable, opt_state = carry
         k = jax.random.fold_in(jax.random.key(1234), it)
         idx = jax.random.randint(k, (BATCH,), 0, ROLLOUTS)
-        (l, (hub, ce)), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, tok_dev[idx], hiddens[idx])
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, consts, consts["tok"][idx], consts["hid"][idx])
         upd, opt_state = opt.update(g, opt_state, trainable)
-        return (optax.apply_updates(trainable, upd), opt_state), (l, hub, ce)
+        return (optax.apply_updates(trainable, upd), opt_state), (l,) + aux
 
     chunk = 200
 
+    # corpus/embed/head are ARGUMENTS, not closure captures: a captured
+    # device array is baked into the HLO as a literal, and the tunneled
+    # remote_compile endpoint rejects the multi-hundred-MB upload (HTTP 413)
     @jax.jit
-    def run_chunk(trainable, opt_state, it0):
-        (trainable, opt_state), (ls, hubs, ces) = jax.lax.scan(
-            one_step, (trainable, opt_state),
+    def run_chunk(trainable, opt_state, it0, consts):
+        (trainable, opt_state), (ls, hubs, ces, ags) = jax.lax.scan(
+            lambda c, it: one_step(c, it, consts), (trainable, opt_state),
             it0 + jnp.arange(chunk, dtype=jnp.int32))
-        return trainable, opt_state, ls[-1], hubs[-1], ces[-1]
+        return trainable, opt_state, ls[-1], hubs[-1], ces[-1], ags[-1]
 
+    consts = {"tok": tok_dev, "hid": hiddens, "embed": frozen_embed,
+              "head": head}
     t0 = time.time()
     for c in range(0, STEPS, chunk):
-        trainable, opt_state, l, hub, ce = run_chunk(
-            trainable, opt_state, jnp.asarray(c, jnp.int32))
+        trainable, opt_state, l, hub, ce, ag = run_chunk(
+            trainable, opt_state, jnp.asarray(c, jnp.int32), consts)
         print(f"step {c+chunk:5d}/{STEPS} loss {float(l):.4f} "
               f"huber {float(hub):.4f} ce {float(ce):.4f} "
-              f"({time.time()-t0:.0f}s)", flush=True)
+              f"top1-agree {float(ag):.3f} ({time.time()-t0:.0f}s)",
+              flush=True)
 
     draft_f32 = EagleParams(embed=frozen_embed, **trainable)
 
@@ -232,6 +259,7 @@ def main():
     del draft_f32, opt_state
     eng_t = SpecEngine(params, draft_q, cfg)
     accs = []
+    match = []
     losses = 0
     n_eval = 6
     for i in range(n_eval):
@@ -242,14 +270,21 @@ def main():
                                         eos_token_id=-1)
         out, st = eng_t.generate(prompt, max_new_tokens=GEN_TOKENS,
                                  eos_token_id=-1)
-        ok = out[:len(ar)] == ar[:len(out)]
+        n = min(len(out), len(ar))
+        div = next((j for j in range(n) if out[j] != ar[j]), n)
+        ok = div == n
+        # strict AR-vs-spec equality can fail on a RANDOM base even at
+        # acceptance 1: near-tied top-2 logits flip with the verify pass's
+        # query width under bf16 (see tools/tie_probe.py). Record the
+        # matched fraction; real checkpoints have wide top-1 margins.
         losses += 0 if ok else 1
+        match.append(div / max(n, 1))
         accs.append(st["accept_per_round"])
         print(f"eval {i}: accept/round {st['accept_per_round']:.2f} "
-              f"lossless={ok}", flush=True)
+              f"lossless={ok} match_frac={div/max(n,1):.3f}", flush=True)
     acc = float(np.mean(accs))
-    print(f"MEAN accept/round = {acc:.3f} (lossless on "
-          f"{n_eval-losses}/{n_eval})", flush=True)
+    print(f"MEAN accept/round = {acc:.3f} (lossless {n_eval-losses}/"
+          f"{n_eval}, match_frac {float(np.mean(match)):.3f})", flush=True)
 
     # ---- 5. save ---------------------------------------------------------
     os.makedirs(os.path.join(_ROOT, "checkpoints"), exist_ok=True)
@@ -261,6 +296,7 @@ def main():
                    "rollouts": ROLLOUTS, "quant_eval": quant,
                    "accept_per_round": acc,
                    "lossless": losses == 0,
+                   "ar_match_frac": round(float(np.mean(match)), 4),
                    "protocol": "tools/train_bench_draft.py (held-out eval "
                                "prompts; bench prompt seed 0 never trained "
                                "on)"}, f, indent=1)
