@@ -91,7 +91,7 @@ def _beam_step(p: EagleParams, head: jax.Array, cache_k, cache_v,
     out, cache_k, cache_v = eagle_layer(
         x, p, cache_k, cache_v, positions, bias, write_start,
         draft_view(p, cfg))
-    out = project_out(p, out)[0]                                  # (K, H)
+    out = project_out(p, out, state.hidden[None])[0]              # (K, H)
 
     # --- candidates: per-row top-k next tokens with cumulative scores.
     # head_topk = top-k of log_softmax in one fused weight pass (Pallas

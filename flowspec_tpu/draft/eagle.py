@@ -71,11 +71,20 @@ def draft_view(p: EagleParams, base_cfg: ModelConfig) -> ModelConfig:
         num_attention_heads=nq, num_key_value_heads=nkv, head_dim=d)
 
 
-def project_out(p: EagleParams, x: jax.Array) -> jax.Array:
-    """Thin-draft W -> H output projection (identity for the reference
-    layout). Everything downstream of the draft layer — lm_head scoring,
-    the next beam level's fuse(), pair hiddens — lives in base H space."""
-    return x if p.w_out is None else qmatmul(x, p.w_out)
+def project_out(p: EagleParams, x: jax.Array,
+                hidden_in: jax.Array) -> jax.Array:
+    """Draft output in base H space. Full-width drafts (w_out None) return
+    the layer output directly — reference parity (cnets applies lm_head to
+    the raw layer output). THIN drafts return hidden_in + x @ w_out: the
+    layer predicts the next hidden's DELTA from the input hidden. The
+    rank-W bottleneck (fc -> W -> w_out) cannot represent the identity map
+    on H > W dims, so a direct-prediction thin draft can only memorize the
+    hidden vectors it trained on (measured: 0.97 teacher-forced top-1 on
+    the training rollouts, chance on held-out prompts); the residual form
+    makes 'hidden barely moves' the zero function, which generalizes."""
+    if p.w_out is None:
+        return x
+    return hidden_in.astype(x.dtype) + qmatmul(x, p.w_out)
 
 
 def eagle_layer(x: jax.Array, p: EagleParams, k_cache, v_cache,
@@ -143,7 +152,7 @@ def draft_context_forward(p: EagleParams, cache: KVCache, tokens: jax.Array,
                             start, dc)
     new_cache = KVCache(k=k[None], v=v[None],
                         length=(start + n_valid).astype(jnp.int32))
-    return project_out(p, out), new_cache
+    return project_out(p, out, hidden), new_cache
 
 
 def init_eagle_params(key: jax.Array, cfg: ModelConfig,

@@ -93,9 +93,10 @@ def _use_flash() -> bool:
 
 DYN_ATTN_BLOCK = 256
 DYN_ATTN_MIN_ALLOC = 1024
+DYN_ATTN_MIN_Q = 16
 
 
-def _use_dyn_attn(s_alloc: int) -> bool:
+def _use_dyn_attn(s_alloc: int, t: int = 0) -> bool:
     """Length-aware blocked attention: read the KV cache only up to the live
     context length instead of the whole static allocation. The dense path's
     QK^T spans every allocated row — at a 2560-token allocation that is
@@ -106,16 +107,22 @@ def _use_dyn_attn(s_alloc: int) -> bool:
     PROFILE_ITERS=32): the blocked path wins the wide verify forward
     (14.2ms vs 16.0 dense) but LOSES the 1-query-row AR step (the
     dynamic-trip-count while_loop runs once per layer, and its per-iteration
-    overhead exceeds the skipped KV read for narrow queries); the full spec
-    round is a wash. Default OFF — the production answer to the allocation
-    tax is right-sizing the KV allocation to the request budget (bench.py).
-    FLOWSPEC_DYN_ATTN=1 opts in for wide-query/long-alloc workloads; only
-    allocations >= DYN_ATTN_MIN_ALLOC take the blocked path even then."""
+    overhead exceeds the skipped KV read for narrow queries). The query
+    width `t` is STATIC per compiled program, so the gate routes by it
+    (r2 verdict #6): wide passes (tree verify, t >= DYN_ATTN_MIN_Q) on
+    large allocations (>= DYN_ATTN_MIN_ALLOC) take the blocked path by
+    default — this is what makes KV bucket growth pay in its final bucket
+    — while narrow AR/drain steps keep the dense path. Combined with
+    right-sizing/buckets this removes the long-context allocation tax.
+    FLOWSPEC_DYN_ATTN=0 forces the dense path everywhere; =1 forces the
+    blocked path for any query width (allocation floor still applies)."""
     import os
     env = os.environ.get("FLOWSPEC_DYN_ATTN")
-    if env is not None and env not in ("0", ""):
+    if env is not None:
+        if env in ("0", ""):
+            return False
         return s_alloc >= DYN_ATTN_MIN_ALLOC
-    return False
+    return s_alloc >= DYN_ATTN_MIN_ALLOC and t >= DYN_ATTN_MIN_Q
 
 
 def _attention_blocked(q, k_all, v_all, bias, n_rep: int, n_valid):
@@ -170,7 +177,7 @@ def attention(q, k_all, v_all, bias, n_rep: int, n_valid=None):
     length-aware blocked path (see _use_dyn_attn)."""
     s_alloc = k_all.shape[2]
     if (n_valid is not None and s_alloc % DYN_ATTN_BLOCK == 0
-            and _use_dyn_attn(s_alloc)):
+            and _use_dyn_attn(s_alloc, q.shape[2])):
         return _attention_blocked(q, k_all, v_all, bias, n_rep, n_valid)
     if (_use_flash() and q.shape[0] == 1 and q.shape[2] > 1
             and k_all.shape[2] % 256 == 0):

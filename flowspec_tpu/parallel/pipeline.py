@@ -1081,7 +1081,8 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget,
                 out_h, dk, dv = eagle_layer(
                     x, draft, dc.k[0], dc.v[0], positions, biasb,
                     dctx + f_start, draft_view(draft, mc))
-                out_h = project_out(draft, out_h)[0]          # (k_pd, H)
+                out_h = project_out(draft, out_h,
+                                    par_h[None])[0]           # (k_pd, H)
                 dh2 = c2.dhidden.at[jnp.where(fv, sf, n_cap)].set(
                     out_h.astype(c2.dhidden.dtype), mode="drop")
                 dhv2 = c2.dh_valid.at[jnp.where(fv, sf, n_cap)].set(

@@ -261,7 +261,14 @@ def test_dyn_attn_gate_env(monkeypatch):
     # opted in: only large allocations take the blocked path
     assert not L._use_dyn_attn(512)
     assert L._use_dyn_attn(1024)
-    # default (no env): dense everywhere — the blocked path lost its AR-step
-    # hardware A/B and is opt-in only
+    # default (no env): routed by STATIC query width (r2 verdict #6) —
+    # wide verify passes on large allocations take the blocked path, the
+    # 1-row AR step (which lost its hardware A/B) keeps dense
     monkeypatch.delenv("FLOWSPEC_DYN_ATTN")
-    assert not L._use_dyn_attn(1024)
+    assert not L._use_dyn_attn(1024)            # t=0 (AR-like)
+    assert not L._use_dyn_attn(1024, t=1)
+    assert L._use_dyn_attn(1024, t=L.DYN_ATTN_MIN_Q)
+    assert not L._use_dyn_attn(512, t=96)       # small alloc: dense
+    # force-off wins over any width
+    monkeypatch.setenv("FLOWSPEC_DYN_ATTN", "0")
+    assert not L._use_dyn_attn(2560, t=96)

@@ -40,7 +40,8 @@ import numpy as np
 
 SCALE = os.environ.get("TRAIN_SCALE", "7b")
 STEPS = int(os.environ.get("TRAIN_STEPS", "8000"))
-ROLLOUTS = int(os.environ.get("TRAIN_ROLLOUTS", "40"))
+ROLLOUTS = int(os.environ.get("TRAIN_ROLLOUTS", "64"))
+N_HOLDOUT = int(os.environ.get("TRAIN_HOLDOUT", "4"))
 WIDTH = int(os.environ.get("TRAIN_WIDTH", "1024"))
 BATCH = int(os.environ.get("TRAIN_BATCH", "8"))
 GEN_TOKENS = int(os.environ.get("TRAIN_GEN_TOKENS", "256"))
@@ -99,9 +100,12 @@ def main():
 
     eng = SpecEngine(params, _rnd_draft, cfg)
 
-    # ---- 1. greedy rollouts (bench prompt distribution, seeds 1..R) -----
+    # ---- 1. greedy rollouts (bench prompt distribution, seeds 1..R,
+    # plus N_HOLDOUT held-out rollouts, seeds 2000.. — never trained on,
+    # used for the teacher-forced generalization diagnostic) -------------
     seq_len = PROMPT_LEN + GEN_TOKENS
-    cache_path = f"/tmp/flowspec_corpus_{SCALE}_{ROLLOUTS}x{seq_len}.npz"
+    n_total = ROLLOUTS + N_HOLDOUT
+    cache_path = f"/tmp/flowspec_corpus_{SCALE}_{n_total}x{seq_len}.npz"
     if os.path.exists(cache_path):
         z = np.load(cache_path)
         tokens = z["tokens"]
@@ -112,16 +116,18 @@ def main():
     else:
         t0 = time.time()
         seqs = []
-        for r in range(1, ROLLOUTS + 1):
+        seeds = list(range(1, ROLLOUTS + 1)) + [
+            2000 + i for i in range(N_HOLDOUT)]
+        for n_done, r in enumerate(seeds):
             vmax = min(1000, mc.vocab_size)
             prompt = np.random.default_rng(r).integers(10, vmax, PROMPT_LEN)
             out, _ = eng.generate_ar_fused(prompt, max_new_tokens=GEN_TOKENS,
                                            eos_token_id=-1)
             seqs.append(np.asarray(out[:seq_len], np.int32))
-            if r % 10 == 0:
-                print(f"rollout {r}/{ROLLOUTS} ({time.time()-t0:.0f}s)",
-                      flush=True)
-        tokens = np.stack(seqs)                                   # (R, T)
+            if (n_done + 1) % 16 == 0:
+                print(f"rollout {n_done+1}/{n_total} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+        tokens = np.stack(seqs)                                   # (R+H, T)
         uniq = [len(set(s[PROMPT_LEN:].tolist())) for s in seqs]
         print(f"rollouts: {tokens.shape}, unique-gen-token counts "
               f"min/med/max = {min(uniq)}/{sorted(uniq)[len(uniq)//2]}/"
@@ -144,7 +150,7 @@ def main():
 
         t0 = time.time()
         hid_list = []
-        for r in range(ROLLOUTS):
+        for r in range(n_total):
             hid_list.append(hiddens_of(params, jnp.asarray(tokens[r])))
         hiddens = jnp.stack(hid_list)                         # (R, T, H)
         float(jnp.sum(hiddens[0, 0, :4].astype(jnp.float32)))  # sync
@@ -173,23 +179,25 @@ def main():
 
     def draft_forward(trainable, embed, tok_b, hid_b):
         """Teacher-forced pairs (token_{i+1}, hidden_i) -> predicted
-        hidden_{i+1} in base H space. hid_b (B, T, H) bf16 -> f32."""
+        hidden_{i+1} in base H space (thin drafts: hidden_i + delta).
+        hid_b (B, T, H) bf16 -> f32."""
         p = EagleParams(embed=embed, **trainable)
-        x = fuse(p, tok_b[:, 1:], hid_b[:, :-1].astype(jnp.float32))
+        h_in = hid_b[:, :-1].astype(jnp.float32)
+        x = fuse(p, tok_b[:, 1:], h_in)
         pos = jnp.arange(t_pairs, dtype=jnp.int32)
         i = pos[:, None]
         j = pos[None, :]
         bias = jnp.where(j <= i, 0.0, -1e9).astype(jnp.float32)
 
-        def one(x1):
+        def one(x1, h1):
             k = jnp.zeros((1, dcfg.num_key_value_heads, t_pairs,
                            dcfg.head_dim_), jnp.float32)
             v = jnp.zeros_like(k)
             out, _, _ = eagle_layer(x1[None], p, k, v, pos, bias,
                                     jnp.zeros((), jnp.int32), dcfg)
-            return project_out(p, out)[0]
+            return project_out(p, out, h1[None])[0]
 
-        return jax.vmap(one)(x)                               # (B, T-1, H)
+        return jax.vmap(one)(x, h_in)                         # (B, T-1, H)
 
     def loss_fn(trainable, consts, tok_b, hid_b):
         out = draft_forward(trainable, consts["embed"], tok_b, hid_b)
@@ -249,14 +257,27 @@ def main():
               f"top1-agree {float(ag):.3f} ({time.time()-t0:.0f}s)",
               flush=True)
 
-    draft_f32 = EagleParams(embed=frozen_embed, **trainable)
+    # ---- held-out teacher-forced agreement: distinguishes memorization
+    # (train-agree high, held-out low — the failure mode the residual thin
+    # layout fixes) from forward/quantization bugs -----------------------
+    @jax.jit
+    def eval_agree(trainable, consts, tok_b, hid_b):
+        _, (hub, ce, agree) = loss_fn(trainable, consts, tok_b, hid_b)
+        return hub, ce, agree
+
+    ho_hub, ho_ce, ho_ag = eval_agree(trainable, consts,
+                                      tok_dev[ROLLOUTS:],
+                                      hiddens[ROLLOUTS:])
+    print(f"HELD-OUT teacher-forced: huber {float(ho_hub):.4f} "
+          f"ce {float(ho_ce):.4f} top1-agree {float(ho_ag):.3f}",
+          flush=True)
 
     # ---- 4. eval: real engine, held-out prompts, int8 like the bench ----
     draft_bf16 = EagleParams(embed=frozen_embed, **{
         f: jnp.asarray(trainable[f], dt) for f in _FIELDS})
     draft_q = (quantize_eagle_params(draft_bf16, "int8")
                if quant != "none" else draft_bf16)
-    del draft_f32, opt_state
+    del opt_state
     eng_t = SpecEngine(params, draft_q, cfg)
     accs = []
     match = []
@@ -297,6 +318,7 @@ def main():
                    "accept_per_round": acc,
                    "lossless": losses == 0,
                    "ar_match_frac": round(float(np.mean(match)), 4),
+                   "holdout_top1_agree": round(float(ho_ag), 4),
                    "protocol": "tools/train_bench_draft.py (held-out eval "
                                "prompts; bench prompt seed 0 never trained "
                                "on)"}, f, indent=1)
