@@ -108,6 +108,12 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (see CLAUDE.md: the axon "
                          "sitecustomize overrides JAX_PLATFORMS)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="host round loop instead of the fused on-device "
+                         "decode loop: each grid point then compiles only "
+                         "the (small) per-round program — the right trade "
+                         "for wide grids on the tunneled backend, where "
+                         "one 7B fused-loop compile can cost minutes")
     args = ap.parse_args(argv)
 
     import jax
@@ -185,7 +191,8 @@ def main(argv=None):
         # one dispatch RTT per round (~70ms through the tunneled backend).
         # --resume uses the host round loop instead (resume keeps state
         # across turns; its prefill saving targets multi-turn TTFT).
-        gen_fn = getattr(eng, "generate_fused", eng.generate)
+        gen_fn = (eng.generate if args.no_fused else
+                  getattr(eng, "generate_fused", eng.generate))
         gen = lambda toks: gen_fn(
             toks, max_new_tokens=args.max_new_tokens, eos_token_id=-1)
         for path in args.data:

@@ -1,0 +1,177 @@
+"""Run the full hardware bench matrix in ONE process.
+
+Through the tunneled backend every process pays its compiles remotely
+(the persistent cache does not capture them — CLAUDE.md), and building
+the 7B int8 params alone costs ~6-13 min of remote compiles. bench.py
+stays the driver's standalone single-metric entry point; this suite
+shares one param build across all modes and appends one JSON row per
+mode to BENCH_SUITE_r03.jsonl.
+
+Env: SUITE_MODES=comma list (default all), SUITE_MODEL=7b,
+SUITE_OUT=path. Run: python tools/bench_suite.py   (holds the TPU)
+"""
+
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+import numpy as np
+
+MODEL = os.environ.get("SUITE_MODEL", "7b")
+OUT = os.environ.get("SUITE_OUT", os.path.join(_ROOT,
+                                               "BENCH_SUITE_r03.jsonl"))
+ALL_MODES = ("spec_trained", "spec_random", "ar", "t1_trained",
+             "serve4", "batch4", "stream", "longgen")
+MODES = [m for m in os.environ.get("SUITE_MODES",
+                                   ",".join(ALL_MODES)).split(",") if m]
+
+
+def emit(row):
+    row["model"] = MODEL
+    print("ROW " + json.dumps(row), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def timed(gen, prompt, n_tokens):
+    gen(prompt, max_new_tokens=n_tokens, eos_token_id=-1)   # warmup+compile
+    t0 = time.perf_counter()
+    out, stats = gen(prompt, max_new_tokens=n_tokens, eos_token_id=-1)
+    dt = time.perf_counter() - t0
+    return stats["new_tokens"] / dt, stats
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE", "/tmp/flowspec_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+    from bench import build_params
+    from flowspec_tpu.config import (
+        EngineConfig, ModelConfig, SamplingConfig, TreeConfig)
+    from flowspec_tpu.draft.eagle import load_thin_draft, \
+        quantize_eagle_params
+    from flowspec_tpu.runtime.engine import SpecEngine
+    from flowspec_tpu.runtime.batched import BatchedSpecEngine
+
+    if MODEL == "tiny":        # CPU smoke of the suite itself
+        jax.config.update("jax_platforms", "cpu")
+        mc, quant = ModelConfig.tiny(), "none"
+    elif MODEL == "7b":
+        mc, quant = ModelConfig.llama_7b(), "int8"
+    else:
+        mc, quant = ModelConfig.llama_13b(), "mixed"
+    n_tokens = 256 if MODEL != "tiny" else 32
+    max_seq = 64 + n_tokens + 24
+    tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16)
+
+    def cfg_of(temp=0.0, max_new=n_tokens, mseq=max_seq, buckets=()):
+        return EngineConfig(model=mc, tree=tc,
+                            sampling=SamplingConfig(temperature=temp),
+                            max_new_tokens=max_new, max_seq_len=mseq,
+                            kv_buckets=buckets)
+
+    print(f"building {quant} {MODEL} base...", flush=True)
+    t0 = time.time()
+    params, rnd_draft = build_params(mc, quant)
+    print(f"built in {time.time()-t0:.0f}s", flush=True)
+    ckpt = os.path.join(_ROOT, "checkpoints",
+                        f"draft_{MODEL}_thin_fp16.npz")
+    trained = None
+    if os.path.exists(ckpt):
+        trained = quantize_eagle_params(
+            load_thin_draft(ckpt, params.embed),
+            "int8" if quant == "mixed" else quant)
+
+    rng0 = np.random.default_rng(0)
+    prompt = rng0.integers(10, 1000, 64)
+
+    for mode in MODES:
+        print(f"=== {mode} ===", flush=True)
+        t_mode = time.time()
+        try:
+            if mode in ("spec_trained", "spec_random", "t1_trained"):
+                d = rnd_draft if mode == "spec_random" else trained
+                if d is None:
+                    print("no trained checkpoint; skip", flush=True)
+                    continue
+                eng = SpecEngine(params, d, cfg_of(
+                    temp=1.0 if mode.startswith("t1") else 0.0))
+                tps, stats = timed(eng.generate_fused, prompt, n_tokens)
+                emit({"mode": mode, "tok_s": round(tps, 2),
+                      "accept_per_round": round(
+                          stats.get("accept_per_round") or 0, 3),
+                      "rounds": stats.get("rounds")})
+            elif mode == "ar":
+                eng = SpecEngine(params, rnd_draft, cfg_of())
+                tps, stats = timed(eng.generate_ar_fused, prompt, n_tokens)
+                emit({"mode": mode, "tok_s": round(tps, 2)})
+            elif mode in ("serve4", "batch4", "stream"):
+                d = trained or rnd_draft
+                eng = BatchedSpecEngine(params, d, cfg_of(mseq=384),
+                                        batch_size=4)
+                prompts = [rng0.integers(10, 1000, 64) for _ in range(8)]
+                if mode == "serve4":
+                    gen = lambda p_, **kw: eng.serve(
+                        prompts, rounds_per_dispatch=256, **kw)
+                    tps, stats = timed(gen, prompt, 128)
+                    emit({"mode": mode, "tok_s": round(tps, 2),
+                          "slot_utilization": round(
+                              stats["slot_utilization"], 3),
+                          "tree_nodes": eng.cfg.tree.node_cap,
+                          "draft": "trained" if trained else "random"})
+                elif mode == "batch4":
+                    gen = lambda p_, **kw: eng.generate_batch_fused(
+                        prompts[:4], **kw)
+                    tps, stats = timed(gen, prompt, 128)
+                    emit({"mode": mode, "tok_s": round(tps, 2),
+                          "draft": "trained" if trained else "random"})
+                else:
+                    rps = 4.0
+                    gaps = np.random.default_rng(3).exponential(
+                        1 / rps, len(prompts))
+                    gaps[0] = 0
+                    arr = np.cumsum(gaps).tolist()
+                    eng.serve_stream(prompts[:2], [0, 0], max_new_tokens=8,
+                                     eos_token_id=-1, rounds_per_dispatch=8)
+                    t0 = time.perf_counter()
+                    outs, stats = eng.serve_stream(
+                        prompts, arr, max_new_tokens=128, eos_token_id=-1,
+                        rounds_per_dispatch=8)
+                    dt = time.perf_counter() - t0
+                    emit({"mode": mode,
+                          "tok_s": round(stats["new_tokens"] / dt, 2),
+                          "admission_p50_s": round(
+                              stats["admission_p50_s"], 3),
+                          "admission_p95_s": round(
+                              stats["admission_p95_s"], 3),
+                          "completion_p50_s": round(
+                              stats["completion_p50_s"], 3),
+                          "completion_p95_s": round(
+                              stats["completion_p95_s"], 3),
+                          "slot_utilization": round(
+                              stats["slot_utilization"], 3),
+                          "draft": "trained" if trained else "random"})
+            elif mode == "longgen":
+                d = trained or rnd_draft
+                eng = SpecEngine(params, d, cfg_of(
+                    max_new=2048, mseq=2560, buckets=(640, 1280)))
+                tps, stats = timed(eng.generate_fused, prompt, 2048)
+                emit({"mode": mode, "tok_s": round(tps, 2),
+                      "accept_per_round": round(
+                          stats.get("accept_per_round") or 0, 3),
+                      "dyn_attn": "width-gated default",
+                      "draft": "trained" if trained else "random"})
+        except Exception as e:
+            emit({"mode": mode, "error": f"{type(e).__name__}: {e}"[:300]})
+        print(f"[{mode}] {time.time()-t_mode:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,7 @@ import numpy as np
 
 SCALE = os.environ.get("TRAIN_SCALE", "7b")
 STEPS = int(os.environ.get("TRAIN_STEPS", "8000"))
-ROLLOUTS = int(os.environ.get("TRAIN_ROLLOUTS", "64"))
+ROLLOUTS = int(os.environ.get("TRAIN_ROLLOUTS", "160"))
 N_HOLDOUT = int(os.environ.get("TRAIN_HOLDOUT", "4"))
 WIDTH = int(os.environ.get("TRAIN_WIDTH", "1024"))
 BATCH = int(os.environ.get("TRAIN_BATCH", "8"))
@@ -258,19 +258,37 @@ def main():
               flush=True)
 
     # ---- held-out teacher-forced agreement: distinguishes memorization
-    # (train-agree high, held-out low — the failure mode the residual thin
-    # layout fixes) from forward/quantization bugs -----------------------
+    # (train-agree high, held-out low) from forward/quantization bugs ----
     @jax.jit
     def eval_agree(trainable, consts, tok_b, hid_b):
         _, (hub, ce, agree) = loss_fn(trainable, consts, tok_b, hid_b)
         return hub, ce, agree
 
-    ho_hub, ho_ce, ho_ag = eval_agree(trainable, consts,
-                                      tok_dev[ROLLOUTS:],
-                                      hiddens[ROLLOUTS:])
-    print(f"HELD-OUT teacher-forced: huber {float(ho_hub):.4f} "
-          f"ce {float(ho_ce):.4f} top1-agree {float(ho_ag):.3f}",
+    # ---- delta-shrink selection: the trained delta is linear in w_out,
+    # so scaling w_out by alpha interpolates exactly between the learned
+    # map (alpha=1) and the zero-delta identity (alpha=0 — the residual
+    # thin layout's prior, whose held-out argmax agreement is ~0.85 on
+    # this near-fixed-point base). With ~60 training attractors in a
+    # 4096-dim hidden space the learned delta memorizes (held-out agree
+    # ~0.05 at alpha=1, measured), so alpha is selected on the HELD-OUT
+    # rollouts — standard model selection, no eval-prompt leakage (bench
+    # prompt seed 0 appears nowhere).
+    best_a, best_ag = 0.0, -1.0
+    for a in (0.0, 0.02, 0.05, 0.1, 0.2, 0.5, 1.0):
+        tr_a = {**trainable, "w_out": trainable["w_out"] * a}
+        hub_a, ce_a, ag_a = eval_agree(tr_a, consts, tok_dev[ROLLOUTS:],
+                                       hiddens[ROLLOUTS:])
+        tr_hub, tr_ce, tr_ag = eval_agree(tr_a, consts, tok_dev[:8],
+                                          hiddens[:8])
+        print(f"alpha {a:4.2f}: held-out agree {float(ag_a):.3f} "
+              f"huber {float(hub_a):.4f} | train agree {float(tr_ag):.3f}",
+              flush=True)
+        if float(ag_a) > best_ag:
+            best_a, best_ag = a, float(ag_a)
+    print(f"selected alpha={best_a} (held-out top1-agree {best_ag:.3f})",
           flush=True)
+    trainable = {**trainable, "w_out": trainable["w_out"] * best_a}
+    ho_ag = best_ag
 
     # ---- 4. eval: real engine, held-out prompts, int8 like the bench ----
     draft_bf16 = EagleParams(embed=frozen_embed, **{
@@ -319,6 +337,7 @@ def main():
                    "lossless": losses == 0,
                    "ar_match_frac": round(float(np.mean(match)), 4),
                    "holdout_top1_agree": round(float(ho_ag), 4),
+                   "w_out_alpha": best_a,
                    "protocol": "tools/train_bench_draft.py (held-out eval "
                                "prompts; bench prompt seed 0 never trained "
                                "on)"}, f, indent=1)
