@@ -234,8 +234,11 @@ def main():
         # B KV caches coexist; bound the context so they fit beside weights
         max_seq = min(max_seq, 384)
     # reference tree defaults: 80 tokens / top-10 / depth-6; node_cap sized
-    # to the single-chip engine's needs (fresh tree per round, no merge)
-    tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16)
+    # to the single-chip engine's needs (fresh tree per round, no merge).
+    # BENCH_SCORE_TEMP: beam score temperature (TreeConfig tree-shape knob)
+    tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16,
+                    score_temperature=float(
+                        os.environ.get("BENCH_SCORE_TEMP", "1")))
     # BENCH_BUCKETS="640,1280" enables KV bucket growth inside the fused
     # decode (early rounds run in a small allocation; caches migrate as
     # commit_len grows) — the long-context alternative to right-sizing

@@ -52,6 +52,19 @@ class TreeConfig:
     # an expand_tokens-row forward — capping at chunk_len is strictly better
     # here and is the default.
     expand_chunk_len: int = 16
+    # Beam score temperature (tree-SHAPE knob, this repo's addition): the
+    # beam ranks candidates by cumulative log-softmax(logits / tau). Per-row
+    # top-k order is tau-invariant, so the PROPOSED token set per node never
+    # changes — only how node budget is allocated across depths. tau < 1
+    # sharpens scores so confident chains out-rank wide shallow fans and
+    # the tree grows deeper; tau = 1 is exact reference behavior
+    # (eagle/cnets.py:833-846 ranks by raw cumulative log-probs). Matters
+    # when the base's softmax is flat relative to its argmax stability
+    # (e.g. the random-weight bench base: top-1 agreement ~0.86 but top-1
+    # prob ~1e-3, so at tau=1 the whole node budget lands on levels 0-1 and
+    # caps acceptance at ~3/round regardless of draft quality). Greedy
+    # losslessness is unaffected (proposal-set-independent).
+    score_temperature: float = 1.0
     # No-completion expansion (ref none_expand, run_config.py:175-179 — default
     # True for continuous): on pipeline-bubble turns (no chunk completed), the
     # draft deepens its *saved* beam by `none_expand_depth` levels and merges

@@ -65,7 +65,7 @@ class BeamState:
 
 def _beam_step(p: EagleParams, head: jax.Array, cache_k, cache_v,
                state: BeamState, cfg: ModelConfig, top_k: int,
-               max_levels: int):
+               max_levels: int, inv_tau: float = 1.0):
     """Forward the frontier at beam block `state.level`, emit K*K candidates,
     select the next frontier. Returns (state', cache_k', cache_v')."""
     k_beam = top_k
@@ -97,8 +97,11 @@ def _beam_step(p: EagleParams, head: jax.Array, cache_k, cache_v,
     # head_topk = top-k of log_softmax in one fused weight pass (Pallas
     # kernel on TPU int8 heads, exact XLA fallback elsewhere — see
     # ops/head_topk.py; the unfused chain was the beam's dominant cost).
+    # score_temperature scales the hidden before the head — logits are
+    # linear in it, so this is exactly log_softmax(logits / tau); per-row
+    # top-k order is invariant (see TreeConfig.score_temperature).
     from flowspec_tpu.ops.head_topk import head_topk
-    row_lp, row_tok = head_topk(out, head, k_beam)                # (K, K)
+    row_lp, row_tok = head_topk(out * inv_tau, head, k_beam)      # (K, K)
     cu = row_lp + state.scores[:, None]                           # (K, K)
 
     flat_base = k_beam + l * k_beam * k_beam
@@ -138,7 +141,8 @@ def _init_beam(p: EagleParams, head: jax.Array, root_hidden: jax.Array,
     from flowspec_tpu.ops.head_topk import head_topk
     k_beam = tree_cfg.top_k
     m = k_beam + max_levels * k_beam * k_beam
-    sc, tok = head_topk(root_hidden, head, k_beam)
+    sc, tok = head_topk(root_hidden / tree_cfg.score_temperature, head,
+                        k_beam)
 
     cand_tokens = jnp.full((m,), -1, jnp.int32).at[:k_beam].set(
         tok.astype(jnp.int32))
@@ -190,7 +194,8 @@ def topk_generate(p: EagleParams, head: jax.Array, cache: KVCache,
     def body(carry, _):
         st, ck, cv = carry
         st, ck, cv = _beam_step(p, head, ck, cv, st, cfg, tree_cfg.top_k,
-                                max_levels)
+                                max_levels,
+                                inv_tau=1.0 / tree_cfg.score_temperature)
         return (st, ck, cv), None
 
     (state, ck, cv), _ = jax.lax.scan(
@@ -250,7 +255,8 @@ def expand_tree(p: EagleParams, head: jax.Array, cache: KVCache,
     def body(carry, _):
         st, ck, cv = carry
         st, ck, cv = _beam_step(p, head, ck, cv, st, cfg, tree_cfg.top_k,
-                                max_levels)
+                                max_levels,
+                                inv_tau=1.0 / tree_cfg.score_temperature)
         return (st, ck, cv), None
 
     (state2, ck, cv), _ = jax.lax.scan(

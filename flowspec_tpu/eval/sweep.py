@@ -85,6 +85,9 @@ def main(argv=None):
     ap.add_argument("--chunk-lens", default="16", help="comma list")
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--total-tokens", type=int, default=80)
+    ap.add_argument("--score-temps", default="1",
+                    help="comma list of beam score temperatures (tree-"
+                         "shape knob, TreeConfig.score_temperature)")
     ap.add_argument("--temperatures", default=None,
                     help="comma list — outer sweep axis, like the "
                          "reference's `temperatures` loop "
@@ -178,14 +181,16 @@ def main(argv=None):
         temps,
         [int(x) for x in args.depths.split(",")],
         [int(x) for x in args.expand_depths.split(",")],
-        [int(x) for x in args.chunk_lens.split(",")]))
+        [int(x) for x in args.chunk_lens.split(",")],
+        [float(x) for x in args.score_temps.split(",")]))
 
     rows = []
-    for temperature, depth, expand_depth, chunk_len in grid:
+    for temperature, depth, expand_depth, chunk_len, stemp in grid:
         tc = TreeConfig(top_k=args.top_k, depth=depth,
                         total_tokens=args.total_tokens,
                         expand_depth=expand_depth, chunk_len=chunk_len,
-                        depth_cap=max(24, depth + expand_depth + 2))
+                        depth_cap=max(24, depth + expand_depth + 2),
+                        score_temperature=stemp)
         eng = build_engine(args, mc, tc, params, draft, temperature)
         # prefer the fused on-device decode loop: the host round loop pays
         # one dispatch RTT per round (~70ms through the tunneled backend).
@@ -206,7 +211,7 @@ def main(argv=None):
                            resume=args.resume,
                            max_new_tokens=args.max_new_tokens)
             row = dict(temperature=temperature, depth=depth,
-                       expand_depth=expand_depth,
+                       expand_depth=expand_depth, score_temp=stemp,
                        chunk_len=chunk_len, engine=args.engine,
                        schedule=args.schedule,
                        draft=("trained" if args.trained_draft else "random"),

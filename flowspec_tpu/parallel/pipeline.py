@@ -1088,7 +1088,9 @@ def _pipeline_round(params, draft, state: PipeState, eos_id, budget,
                 dhv2 = c2.dh_valid.at[jnp.where(fv, sf, n_cap)].set(
                     True, mode="drop")
 
-                logits = head_logits(out_h, bhead)
+                # score_temperature: same sharpened scoring as the beam
+                # (logits linear in the hidden; see TreeConfig)
+                logits = head_logits(out_h / tc.score_temperature, bhead)
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 row_logp, row_tok = jax.lax.approx_max_k(
                     logp, k_pd, recall_target=1.0)

@@ -108,6 +108,27 @@ def test_sweep_cli(tmp_path):
     assert disk == rows
 
 
+def test_sweep_cli_temperature_grid_resume(tmp_path):
+    """--temperatures sweeps T as the outer axis (ref run_pipe_eval.py:191)
+    and --resume + --no-fused route through the host loop with KV reuse."""
+    from flowspec_tpu.eval.sweep import main
+
+    out = tmp_path / "rows.jsonl"
+    rows = main([
+        "--cpu", "--random", "tiny", "--engine", "single",
+        "--data", "data/mt_bench/question.jsonl",
+        "--limit", "1", "--max-conv-turns", "2",
+        "--depths", "3", "--expand-depths", "2", "--chunk-lens", "8",
+        "--temperatures", "0,1", "--resume", "--no-fused",
+        "--max-new-tokens", "8", "--out", str(out),
+    ])
+    assert len(rows) == 2
+    assert [r["temperature"] for r in rows] == [0.0, 1.0]
+    # two conversation turns, the second continued via KV reuse
+    assert all(r["resume_hits"] == 1 for r in rows)
+    assert all(r["accept_per_round"] is not None for r in rows)
+
+
 def test_show_timestamps_renders(tmp_path, capsys):
     """The timestamp-stream timeline CLI (ref records/show_timestamps.ipynb)
     renders a saved profiler record with per-event deltas and a gap list."""
