@@ -233,12 +233,6 @@ def main():
     if batch > 1:
         # B KV caches coexist; bound the context so they fit beside weights
         max_seq = min(max_seq, 384)
-    # reference tree defaults: 80 tokens / top-10 / depth-6; node_cap sized
-    # to the single-chip engine's needs (fresh tree per round, no merge).
-    # BENCH_SCORE_TEMP: beam score temperature (TreeConfig tree-shape knob)
-    tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16,
-                    score_temperature=float(
-                        os.environ.get("BENCH_SCORE_TEMP", "1")))
     # BENCH_BUCKETS="640,1280" enables KV bucket growth inside the fused
     # decode (early rounds run in a small allocation; caches migrate as
     # commit_len grows) — the long-context alternative to right-sizing
@@ -263,6 +257,20 @@ def main():
         draft_kind = ("trained" if os.path.exists(draft_ckpt)
                       and quant != "none" and mode != "ar"
                       and not force_accept else "random")
+    # Tree shape: reference defaults are 80 tokens / top-10 / depth-6 with
+    # raw cumulative-log-prob ordering (score_temperature 1). With the
+    # TRAINED draft the defaults switch to the swept optimum — depth 8,
+    # score_temperature 0.2 (tools/stemp_probe.py + SWEEP_r03: the random
+    # base's flat softmax otherwise packs the node budget into levels 0-1
+    # and caps acceptance at ~3/round). BENCH_DEPTH/BENCH_SCORE_TEMP
+    # override.
+    trained = draft_kind == "trained"
+    depth = int(os.environ.get("BENCH_DEPTH", "8" if trained else "6"))
+    stemp = float(os.environ.get("BENCH_SCORE_TEMP",
+                                 "0.2" if trained else "1"))
+    tc = TreeConfig(node_cap=96, leaf_cap=96,
+                    depth=depth, depth_cap=max(16, depth + 2),
+                    score_temperature=stemp)
     cfg = EngineConfig(model=mc, tree=tc,
                        sampling=SamplingConfig(temperature=temp),
                        max_new_tokens=n_tokens, max_seq_len=max_seq,

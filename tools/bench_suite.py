@@ -69,10 +69,19 @@ def main():
         mc, quant = ModelConfig.llama_13b(), "mixed"
     n_tokens = 256 if MODEL != "tiny" else 32
     max_seq = 64 + n_tokens + 24
+    # reference-parity tree for random-draft rows; swept optimum (depth 8,
+    # score_temperature 0.2 — tools/stemp_probe.py) for trained-draft rows,
+    # matching bench.py's defaults. SUITE_DEPTH/SUITE_STEMP override.
     tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16)
+    tc_tuned = TreeConfig(
+        node_cap=96, leaf_cap=96,
+        depth=int(os.environ.get("SUITE_DEPTH", "8")),
+        depth_cap=max(16, int(os.environ.get("SUITE_DEPTH", "8")) + 2),
+        score_temperature=float(os.environ.get("SUITE_STEMP", "0.2")))
 
-    def cfg_of(temp=0.0, max_new=n_tokens, mseq=max_seq, buckets=()):
-        return EngineConfig(model=mc, tree=tc,
+    def cfg_of(temp=0.0, max_new=n_tokens, mseq=max_seq, buckets=(),
+               tuned=False):
+        return EngineConfig(model=mc, tree=tc_tuned if tuned else tc,
                             sampling=SamplingConfig(temperature=temp),
                             max_new_tokens=max_new, max_seq_len=mseq,
                             kv_buckets=buckets)
@@ -101,20 +110,26 @@ def main():
                 if d is None:
                     print("no trained checkpoint; skip", flush=True)
                     continue
+                tuned = mode != "spec_random" and trained is not None
                 eng = SpecEngine(params, d, cfg_of(
-                    temp=1.0 if mode.startswith("t1") else 0.0))
+                    temp=1.0 if mode.startswith("t1") else 0.0,
+                    tuned=tuned))
                 tps, stats = timed(eng.generate_fused, prompt, n_tokens)
                 emit({"mode": mode, "tok_s": round(tps, 2),
                       "accept_per_round": round(
                           stats.get("accept_per_round") or 0, 3),
-                      "rounds": stats.get("rounds")})
+                      "rounds": stats.get("rounds"),
+                      "tree": (f"d{eng.cfg.tree.depth}"
+                               f"/tau{eng.cfg.tree.score_temperature:g}")})
             elif mode == "ar":
                 eng = SpecEngine(params, rnd_draft, cfg_of())
                 tps, stats = timed(eng.generate_ar_fused, prompt, n_tokens)
                 emit({"mode": mode, "tok_s": round(tps, 2)})
             elif mode in ("serve4", "batch4", "stream"):
                 d = trained or rnd_draft
-                eng = BatchedSpecEngine(params, d, cfg_of(mseq=384),
+                eng = BatchedSpecEngine(params, d,
+                                        cfg_of(mseq=384,
+                                               tuned=trained is not None),
                                         batch_size=4)
                 prompts = [rng0.integers(10, 1000, 64) for _ in range(8)]
                 if mode == "serve4":
@@ -161,7 +176,8 @@ def main():
             elif mode == "longgen":
                 d = trained or rnd_draft
                 eng = SpecEngine(params, d, cfg_of(
-                    max_new=2048, mseq=2560, buckets=(640, 1280)))
+                    max_new=2048, mseq=2560, buckets=(640, 1280),
+                    tuned=trained is not None))
                 tps, stats = timed(eng.generate_fused, prompt, 2048)
                 emit({"mode": mode, "tok_s": round(tps, 2),
                       "accept_per_round": round(

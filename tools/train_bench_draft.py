@@ -56,6 +56,8 @@ def configs():
         EngineConfig, ModelConfig, SamplingConfig, TreeConfig)
     if SCALE == "7b":
         mc = ModelConfig.llama_7b()
+    elif SCALE == "13b":
+        mc = ModelConfig.llama_13b()
     elif SCALE == "1b":
         mc = ModelConfig(hidden_size=2048, intermediate_size=5504,
                          num_hidden_layers=16, num_attention_heads=16,
@@ -91,7 +93,9 @@ def main():
     from flowspec_tpu.runtime.engine import SpecEngine
 
     mc, cfg = configs()
-    quant = "int8" if SCALE in ("7b", "1b") else "none"
+    # match bench.py's quant per size (13B runs mixed int8/int4 — full
+    # int8 does not fit the 16GB chip)
+    quant = {"7b": "int8", "1b": "int8", "13b": "mixed"}.get(SCALE, "none")
     print(f"[{SCALE}] building {quant} base (bench weights)...", flush=True)
     t0 = time.time()
     params, _rnd_draft = build_params(mc, quant)
