@@ -162,3 +162,44 @@ def test_batch_tree_adaptation():
     outs, _ = eng.generate_batch(prompts, max_new_tokens=10,
                                  eos_token_id=-1)
     assert outs == refs
+
+
+def test_score_temperature_reshapes_tree_losslessly():
+    """TreeConfig.score_temperature: per-node proposal sets are invariant
+    (top-k order survives logit scaling), the node budget shifts toward
+    depth as tau drops, and greedy output stays exactly AR."""
+    from flowspec_tpu.draft.beam import topk_generate
+    from flowspec_tpu.models.kv_cache import init_kv_cache
+    mc, base, draft, cfg = _setup(width=32)
+
+    def tree_at(tau):
+        tc = dataclasses.replace(cfg.tree, depth=4, depth_cap=8,
+                                 total_tokens=14, node_cap=24, leaf_cap=24,
+                                 score_temperature=tau)
+        cache = init_kv_cache(1, 1, 2, 64, mc.head_dim_, jnp.float32)
+        root_h = jax.random.normal(jax.random.key(3),
+                                   (mc.hidden_size,), jnp.float32)
+        tree, _, _ = topk_generate(draft, base.lm_head, cache,
+                                   jnp.asarray(5, jnp.int32), root_h,
+                                   tc, mc)
+        return tree
+
+    t1 = tree_at(1.0)
+    t01 = tree_at(0.1)
+    # same node count; the root's children (depth-1 tokens) are drawn from
+    # the same per-row top-k set
+    assert int(t1.n_nodes) == int(t01.n_nodes)
+    d1 = np.asarray(t1.depth)[:int(t1.n_nodes)]
+    d01 = np.asarray(t01.depth)[:int(t01.n_nodes)]
+    # sharpened scores allocate the budget deeper
+    assert d01.max() >= d1.max()
+    assert d01.mean() > d1.mean()
+
+    # losslessness end-to-end at tau 0.1
+    tc = dataclasses.replace(cfg.tree, score_temperature=0.1)
+    eng = SpecEngine(base, draft, dataclasses.replace(cfg, tree=tc))
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, 32, 9).tolist()
+    ar, _ = eng.generate_ar(prompt, max_new_tokens=16, eos_token_id=-1)
+    out, _ = eng.generate(prompt, max_new_tokens=16, eos_token_id=-1)
+    assert out == ar
