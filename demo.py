@@ -22,6 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", help="HF model dir (safetensors)")
     ap.add_argument("--draft", help="EAGLE draft checkpoint dir")
+    ap.add_argument("--thin-draft", help="distilled thin-draft npz "
+                    "(tools/train_bench_draft.py checkpoint)")
     ap.add_argument("--random", choices=["tiny", "1b", "7b"],
                     help="use random weights of this size instead")
     ap.add_argument("--engine", default="single",
@@ -73,6 +75,9 @@ def main():
               ModelConfig.llama_7b())
         params = init_llama_params(jax.random.key(0), mc)
         draft = init_eagle_params(jax.random.key(1), mc, embed=params.embed)
+    if args.thin_draft:
+        from flowspec_tpu.draft.eagle import load_thin_draft
+        draft = load_thin_draft(args.thin_draft, params.embed)
 
     tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16)
     topo = StageTopology.even(mc.num_hidden_layers, args.stages)
