@@ -337,8 +337,21 @@ def main():
         # with device-side refill the dispatch bound only sets admission
         # granularity; the loop's trip count is dynamic, so big K is free
         serve_k = int(os.environ.get("BENCH_SERVE_K", "256"))
-        gen = lambda p_, **kw: eng.serve(prompts,
-                                         rounds_per_dispatch=serve_k, **kw)
+        # BENCH_SERVE_ORDER=fifo|sjf|lpt picks the admission policy;
+        # BENCH_SERVE_HETERO=1 mixes budgets (full/quarter alternating,
+        # long job submitted last) so the policy has a tail wave to drain
+        serve_order = os.environ.get("BENCH_SERVE_ORDER", "fifo")
+        hetero = os.environ.get("BENCH_SERVE_HETERO")
+
+        def gen(p_, max_new_tokens, **kw):
+            if hetero:
+                n = len(prompts)
+                mx = [max_new_tokens // 4] * (n - 1) + [max_new_tokens]
+            else:
+                mx = max_new_tokens
+            return eng.serve(prompts, max_new_tokens=mx,
+                             rounds_per_dispatch=serve_k,
+                             queue_order=serve_order, **kw)
     elif batch > 1:
         prompts = [rng0.integers(10, 1000, 64) for _ in range(batch)]
         gen = lambda p_, **kw: eng.generate_batch_fused(prompts, **kw)
@@ -391,6 +404,12 @@ def main():
     stag = "greedy" if temp == 0 else f"t{temp:g}"
     if force_accept:
         stag += f"_fa{force_accept}"   # synthetic-acceptance mode marker
+    if mode == "serve":
+        if os.environ.get("BENCH_SERVE_HETERO"):
+            stag += "_hetero"
+        so = os.environ.get("BENCH_SERVE_ORDER", "fifo")
+        if so != "fifo":
+            stag += f"_{so}"
     row = {
         "metric": f"output_tokens_per_s_{model_kind}{qtag}_{mode}{btag}_{stag}",
         "value": round(tps, 3),

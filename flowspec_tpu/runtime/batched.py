@@ -360,9 +360,35 @@ class BatchedSpecEngine(SpecEngine):
                         prompt_pos=jnp.zeros((), jnp.int32),
                         active=jnp.asarray(prompt is not None))
 
+    @staticmethod
+    def _queue_schedule(order, budgets, policy: str, start: int = 0):
+        """Order queue positions >= `start` by the admission policy.
+        `order` maps queue position -> request id; entries before `start`
+        are already consumed (or in flight) and must keep their positions.
+        Policies (the reference serves batch=1 FIFO only — this is the
+        admission-aware budget scheduling layer above it):
+          fifo — arrival/submission order (default);
+          sjf  — shortest job (smallest token budget) first: minimizes
+                 mean completion latency over the workload;
+          lpt  — longest job first: the classic makespan heuristic —
+                 long requests start early so the tail drains many short
+                 ones instead of idling B-1 slots behind one long lane.
+        Sorts are stable, so equal-budget requests stay in FIFO order."""
+        if policy == "fifo":
+            return order
+        head, tail = order[:start], order[start:]
+        if policy == "sjf":
+            tail = sorted(tail, key=lambda r: budgets[r])
+        elif policy == "lpt":
+            tail = sorted(tail, key=lambda r: -budgets[r])
+        else:
+            raise ValueError(f"unknown queue_order {policy!r}")
+        return head + tail
+
     def serve(self, prompts: Sequence, max_new_tokens=None,
               eos_token_id: int = 2, seed: int = 0,
-              rounds_per_dispatch: int = 256):
+              rounds_per_dispatch: int = 256,
+              queue_order: str = "fifo"):
         """TOKEN-LEVEL continuous batching: up to `batch_size` slots run
         synchronized rounds; a slot whose request finishes is refilled from
         the device-resident queue IN-PROGRAM (see _get_serve_scan) and
@@ -379,7 +405,10 @@ class BatchedSpecEngine(SpecEngine):
         costs only a (K, B, depth_cap+2) int32 token buffer; the default
         256 runs typical workloads in a handful of dispatches.
 
-        `max_new_tokens` may be a single budget or one per request."""
+        `max_new_tokens` may be a single budget or one per request.
+        `queue_order` picks the admission policy over the request queue
+        (see _queue_schedule): "fifo" (default), "sjf", or "lpt". Outputs
+        always come back in `prompts` order regardless of policy."""
         n_req = len(prompts)
         if max_new_tokens is None:
             budgets = [self.cfg.max_new_tokens] * n_req
@@ -399,6 +428,10 @@ class BatchedSpecEngine(SpecEngine):
         admit_round = [0] * n_req    # round index when the slot was filled
         finish_round = [0] * n_req
 
+        # admission order: queue position -> request id (identity for fifo)
+        order = self._queue_schedule(list(range(n_req)), budgets,
+                                     queue_order)
+
         # device-resident request queue, padded to a size bucket so queue
         # length changes don't recompile the program
         p_cap = self.cfg.max_seq_len
@@ -406,34 +439,40 @@ class BatchedSpecEngine(SpecEngine):
         q_prompts = np.zeros((n_pad, p_cap), np.int32)
         q_lens = np.zeros((n_pad,), np.int32)
         q_budgets = np.zeros((n_pad,), np.int32)
-        for r, (p, mx) in enumerate(zip(prompts, budgets)):
-            pr = np.asarray(p, np.int32).reshape(-1)
-            q_prompts[r, :len(pr)] = pr
-            q_lens[r] = len(pr)
-            q_budgets[r] = mx
+        for qpos, r in enumerate(order):
+            pr = np.asarray(prompts[r], np.int32).reshape(-1)
+            q_prompts[qpos, :len(pr)] = pr
+            q_lens[qpos] = len(pr)
+            q_budgets[qpos] = budgets[r]
         q_prompts = jnp.asarray(q_prompts)
         q_lens = jnp.asarray(q_lens)
         q_budgets = jnp.asarray(q_budgets)
 
-        # initial fill: slots 0..b-1 take requests 0..b-1 on host (the
-        # device path only refills on completion)
-        slot_req = [s if s < n_req else -1 for s in range(b)]
+        # initial fill: slots 0..b-1 take queue entries 0..b-1 on host (the
+        # device path only refills on completion). Seeds are keyed by queue
+        # position to match the device refill's jax.random.key(seed + qpos).
+        slot_q = [s if s < n_req else -1 for s in range(b)]
         states, ctxs = [], []
         for s in range(b):
-            r = slot_req[s]
-            states.append(self.init_state(seed + (r if r >= 0 else 1000 + s)))
-            ctxs.append(self._serve_ctx(prompts[r] if r >= 0 else None))
+            qp = slot_q[s]
+            states.append(self.init_state(seed + (qp if qp >= 0
+                                                  else 1000 + s)))
+            ctxs.append(self._serve_ctx(prompts[order[qp]]
+                                        if qp >= 0 else None))
         batched = self._stack_states(states)
         bctx = self._stack_states(ctxs)
-        lane_req = jnp.asarray(slot_req, jnp.int32)
+        lane_req = jnp.asarray(slot_q, jnp.int32)
         emitted = jnp.zeros((b,), jnp.int32)
         lane_budget = jnp.asarray(
-            [budgets[r] if r >= 0 else 2 ** 30 for r in slot_req], jnp.int32)
+            [budgets[order[qp]] if qp >= 0 else 2 ** 30 for qp in slot_q],
+            jnp.int32)
         qhead = jnp.asarray(min(b, n_req), jnp.int32)
 
         rounds = 0
         busy_slot_rounds = 0
-        first_seen = [0 if r < min(b, n_req) else -1 for r in range(n_req)]
+        first_seen = [-1] * n_req
+        for qp in range(min(b, n_req)):
+            first_seen[order[qp]] = 0
         while not all(finished):
             (batched, bctx, lane_req, emitted, lane_budget, qhead,
              packed) = scan_k(
@@ -451,8 +490,11 @@ class BatchedSpecEngine(SpecEngine):
             reqs = packed[:-1, :, -1]            # (K, B)
             for j in range(n_exec):
                 for s in range(b):
-                    r = int(reqs[j, s])
-                    if r < 0 or finished[r]:
+                    qpos = int(reqs[j, s])
+                    if qpos < 0:
+                        continue
+                    r = order[qpos]
+                    if finished[r]:
                         continue
                     if first_seen[r] < 0:
                         admit_round[r] = rounds + j
@@ -475,6 +517,7 @@ class BatchedSpecEngine(SpecEngine):
                       # prefill rounds)
                       "latency_rounds": [finish_round[r] - admit_round[r]
                                          for r in range(n_req)],
+                      "admit_rounds": admit_round,
                       "slot_utilization": busy_slot_rounds
                       / max(rounds * b, 1)}
 
@@ -482,7 +525,7 @@ class BatchedSpecEngine(SpecEngine):
     def serve_stream(self, prompts: Sequence, arrivals_s: Sequence[float],
                      max_new_tokens=None, eos_token_id: int = 2,
                      seed: int = 0, rounds_per_dispatch: int = 8,
-                     clock=None):
+                     clock=None, queue_order: str = "fifo"):
         """Streaming-arrival continuous batching: request r only becomes
         admittable `arrivals_s[r]` seconds after serving starts. Between
         device dispatches the host appends newly-arrived requests to the
@@ -496,7 +539,16 @@ class BatchedSpecEngine(SpecEngine):
         Validates the admission story r2's verdict flagged as unmeasured:
         returns per-request arrival->admission and arrival->completion
         wall latencies plus the exact on-device rounds accounting.
-        `clock` (a () -> seconds callable) injects fake time for tests."""
+        `clock` (a () -> seconds callable) injects fake time for tests.
+
+        `queue_order` != "fifo" turns on admission-aware budget scheduling:
+        at every host boundary the ARRIVED-but-not-yet-admitted segment of
+        the device queue is reordered by the policy (_queue_schedule) —
+        "sjf" admits short requests ahead of long ones that arrived
+        earlier (lower mean latency; can starve long requests under
+        sustained load), "lpt" the reverse (drains the tail wave). Requests
+        already admitted (or consumed mid-dispatch) keep their positions;
+        future arrivals stay in arrival order until they land."""
         import time as _time
         n_req = len(prompts)
         assert len(arrivals_s) == n_req, (len(arrivals_s), n_req)
@@ -510,9 +562,11 @@ class BatchedSpecEngine(SpecEngine):
         k = max(1, int(rounds_per_dispatch))
         for p, mx in zip(prompts, budgets):
             self._check_budget(p, mx)
-        # arrival order must be queue order (the device consumes the queue
-        # front-to-back)
+        # arrival order is the initial queue order (the device consumes the
+        # queue front-to-back); non-fifo policies reorder the pending
+        # segment at host boundaries below
         order = sorted(range(n_req), key=lambda r: arrivals_s[r])
+        self._queue_schedule([], [], queue_order)    # validate policy name
         scan_k = self._get_serve_scan(k)
         outs: List[list] = [list(np.asarray(p, np.int64)) for p in prompts]
         new_tokens = [0] * n_req
@@ -524,17 +578,25 @@ class BatchedSpecEngine(SpecEngine):
 
         p_cap = self.cfg.max_seq_len
         n_pad = max(8, 1 << (n_req - 1).bit_length())
-        q_prompts = np.zeros((n_pad, p_cap), np.int32)
-        q_lens = np.zeros((n_pad,), np.int32)
-        q_budgets = np.zeros((n_pad,), np.int32)
-        for qpos, r in enumerate(order):
-            pr = np.asarray(prompts[r], np.int32).reshape(-1)
-            q_prompts[qpos, :len(pr)] = pr
-            q_lens[qpos] = len(pr)
-            q_budgets[qpos] = budgets[r]
-        q_prompts = jnp.asarray(q_prompts)
-        q_lens = jnp.asarray(q_lens)
-        q_budgets = jnp.asarray(q_budgets)
+        q_host = (np.zeros((n_pad, p_cap), np.int32),
+                  np.zeros((n_pad,), np.int32),
+                  np.zeros((n_pad,), np.int32))  # np source of truth
+
+        def _write_queue_rows(lo: int):
+            """(Re)write host queue rows lo..n_req-1 from `order`; the
+            device copies are re-uploaded by the caller (the scan does not
+            donate the queue arrays, so upload only on change)."""
+            qp, ql, qb = q_host
+            for qpos in range(lo, n_req):
+                r = order[qpos]
+                pr = np.asarray(prompts[r], np.int32).reshape(-1)
+                qp[qpos] = 0
+                qp[qpos, :len(pr)] = pr
+                ql[qpos] = len(pr)
+                qb[qpos] = budgets[r]
+            return tuple(jnp.asarray(a) for a in q_host)
+
+        q_prompts, q_lens, q_budgets = _write_queue_rows(0)
 
         t0 = _time.perf_counter()
         now = (lambda: _time.perf_counter() - t0) if clock is None else clock
@@ -563,6 +625,18 @@ class BatchedSpecEngine(SpecEngine):
                 if clock is None:
                     _time.sleep(max(0.0, nxt - now()))
                 continue
+            # admission-aware budget scheduling: reorder the pending
+            # (arrived, position >= qhead) queue segment by policy; future
+            # arrivals keep arrival order behind it
+            qh0 = int(qhead)
+            if queue_order != "fifo" and n_arrived > qh0:
+                pend = [r for r in order[qh0:] if arrivals_s[r] <= t]
+                fut = [r for r in order[qh0:] if arrivals_s[r] > t]
+                new_tail = self._queue_schedule(pend, budgets,
+                                                queue_order) + fut
+                if new_tail != order[qh0:]:
+                    order[qh0:] = new_tail
+                    q_prompts, q_lens, q_budgets = _write_queue_rows(qh0)
             # host fill: idle lanes take arrived queue entries directly
             # (the device path needs >= 1 active lane to run rounds)
             lane_np = np.array(lane_req)       # writable copy
@@ -634,6 +708,7 @@ class BatchedSpecEngine(SpecEngine):
             "per_request": new_tokens,
             "latency_rounds": [finish_round[r] - admit_round[r]
                                for r in range(n_req)],
+            "admit_rounds": admit_round,
             "admission_s": lat_admit,
             "completion_s": lat_total,
             "admission_p50_s": q(lat_admit, 50),

@@ -196,6 +196,76 @@ def test_serve_force_accept_multi_token_commits():
     assert stats["rounds"] <= 12, stats
 
 
+def test_serve_queue_order_policies_lossless():
+    """sjf/lpt admission reorder the queue but never change any request's
+    token stream (each still equals its solo AR run), and admission order
+    follows the policy: sjf admits ascending budgets, lpt descending."""
+    eng = _setup(batch_size=1)
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(3, 14, 6 + i).tolist() for i in range(4)]
+    budgets = [5, 2, 8, 3]
+    refs = [eng.generate_ar(p, max_new_tokens=m, eos_token_id=-1)[0]
+            for p, m in zip(prompts, budgets)]
+    for policy, expect in (("sjf", [1, 3, 0, 2]), ("lpt", [2, 0, 3, 1])):
+        outs, stats = eng.serve(prompts, max_new_tokens=budgets,
+                                eos_token_id=-1, queue_order=policy)
+        for i, (o, r) in enumerate(zip(outs, refs)):
+            assert o == r, (policy, i, o, r)
+        assert stats["per_request"] == budgets
+        admitted = sorted(range(4), key=lambda r: stats["admit_rounds"][r])
+        assert admitted == expect, (policy, admitted, stats["admit_rounds"])
+
+
+def test_serve_lpt_beats_fifo_on_tail_wave():
+    """A long request submitted last makes the FIFO tail drain on one busy
+    slot; lpt admits it first so the short requests pack around it —
+    strictly fewer total rounds for the same (lossless) outputs."""
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(29)
+    prompts = [rng.integers(3, 14, 6).tolist() for _ in range(6)]
+    budgets = [2, 2, 2, 2, 2, 14]
+    refs = [eng.generate_ar(p, max_new_tokens=m, eos_token_id=-1)[0]
+            for p, m in zip(prompts, budgets)]
+    rounds = {}
+    for policy in ("fifo", "lpt"):
+        outs, stats = eng.serve(prompts, max_new_tokens=budgets,
+                                eos_token_id=-1, queue_order=policy)
+        for i, (o, r) in enumerate(zip(outs, refs)):
+            assert o == r, (policy, i, o, r)
+        rounds[policy] = stats["rounds"]
+    assert rounds["lpt"] < rounds["fifo"], rounds
+
+
+def test_serve_stream_sjf_admits_short_pending_first():
+    """Streaming + sjf: while the single lane is busy, a short request
+    that arrived AFTER a long one jumps the pending queue; outputs stay
+    equal to the solo AR runs and fifo preserves arrival order."""
+    eng = _setup(batch_size=1)
+    rng = np.random.default_rng(31)
+    prompts = [rng.integers(3, 14, 6).tolist() for _ in range(3)]
+    budgets = [6, 7, 2]      # r1 long, r2 short, both pending behind r0
+    refs = [eng.generate_ar(p, max_new_tokens=m, eos_token_id=-1)[0]
+            for p, m in zip(prompts, budgets)]
+
+    def make_clock():
+        state = {"t": 0.0}
+
+        def clock():
+            state["t"] += 0.05
+            return state["t"]
+        return clock
+
+    arrivals = [0.0, 0.1, 0.2]   # r1 arrives before r2
+    for policy, r2_first in (("fifo", False), ("sjf", True)):
+        outs, stats = eng.serve_stream(
+            prompts, arrivals, max_new_tokens=budgets, eos_token_id=-1,
+            rounds_per_dispatch=2, clock=make_clock(), queue_order=policy)
+        for i, (o, r) in enumerate(zip(outs, refs)):
+            assert o == r, (policy, i, o, r)
+        a = stats["admit_rounds"]
+        assert (a[2] < a[1]) == r2_first, (policy, a)
+
+
 def test_serve_stream_arrivals():
     """Streaming-arrival serving (r2 verdict #9): requests become
     admittable over time; outputs still equal the solo AR runs, arrivals
