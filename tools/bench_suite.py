@@ -26,7 +26,7 @@ MODEL = os.environ.get("SUITE_MODEL", "7b")
 OUT = os.environ.get("SUITE_OUT", os.path.join(_ROOT,
                                                "BENCH_SUITE_r03.jsonl"))
 ALL_MODES = ("spec_trained", "spec_random", "ar", "t1_trained",
-             "serve4", "batch4", "stream", "longgen")
+             "serve4", "batch4", "stream", "longgen", "serve_sched")
 MODES = [m for m in os.environ.get("SUITE_MODES",
                                    ",".join(ALL_MODES)).split(",") if m]
 
@@ -172,6 +172,37 @@ def main():
                               stats["completion_p95_s"], 3),
                           "slot_utilization": round(
                               stats["slot_utilization"], 3),
+                          "draft": "trained" if trained else "random"})
+            elif mode == "serve_sched":
+                # admission policy A/B on a tail-wave workload: 7 short
+                # requests + one 4x-long one submitted LAST. fifo leaves
+                # the long job draining alone at the end; lpt admits it
+                # first. One engine — the serve scan is policy-independent,
+                # so all three rows share one compile.
+                d = trained or rnd_draft
+                eng = BatchedSpecEngine(params, d,
+                                        cfg_of(mseq=384,
+                                               tuned=trained is not None),
+                                        batch_size=4)
+                prompts = [rng0.integers(10, 1000, 64) for _ in range(8)]
+                budgets = [32] * 7 + [128]
+
+                def run(pol):
+                    return eng.serve(prompts, max_new_tokens=budgets,
+                                     eos_token_id=-1,
+                                     rounds_per_dispatch=256,
+                                     queue_order=pol)
+                run("fifo")                     # warmup + compile
+                for pol in ("fifo", "sjf", "lpt"):
+                    t0 = time.perf_counter()
+                    outs, stats = run(pol)
+                    dt = time.perf_counter() - t0
+                    emit({"mode": f"serve_sched_{pol}",
+                          "tok_s": round(stats["new_tokens"] / dt, 2),
+                          "rounds": stats["rounds"],
+                          "slot_utilization": round(
+                              stats["slot_utilization"], 3),
+                          "budgets": "32x7+128",
                           "draft": "trained" if trained else "random"})
             elif mode == "longgen":
                 d = trained or rnd_draft

@@ -1,0 +1,462 @@
+"""Train a base model with REAL sequential structure, then earn draft
+acceptance against it — the realism anchor the random bench base can't be.
+
+Why: the ROADMAP honesty notes flag that every bench-scale earned-
+acceptance number rides on a RANDOM base whose greedy dynamics collapse to
+attractors (distilled acceptance artificially high and depth-saturating)
+and whose near-flat softmax pins stochastic T=1 acceptance at ~1.0. The
+reference's numbers ride on real checkpoints (reference
+eval/run_pipe_eval.py:348-360) that don't exist in this environment. This
+tool closes the gap from the other side: it TRAINS a mid-scale LLaMA-
+architecture base (the repo's own models/llama.py stack, so training runs
+the exact inference code path) on a deterministic synthetic corpus with
+learnable-but-partial structure (flowspec_tpu/eval/synth.py: class-table +
+induction-copy + Zipf noise), verifies it learned (held-out top-1 vs the
+Bayes oracle), then distills a thin EAGLE draft on the trained base's own
+greedy rollouts (the tools/train_bench_draft.py protocol) and measures:
+
+  - greedy accept/round + losslessness vs AR (earned, on structured
+    dynamics — no attractors: the greedy state space is the class-window,
+    astronomically larger than the trajectory);
+  - T=1 stochastic accept/round (the first REAL rejection-sampling
+    acceptance number in this repo: the trained softmax is peaked where
+    the structure is deterministic and flat where it's noise);
+  - spec vs AR tokens/s on the current backend.
+
+Phases run in ONE process (the tunnel pays per-process compile costs).
+
+Env: STRUCT_SCALE=tiny|mid (default mid; tiny is the CPU/CI scale),
+STRUCT_STEPS / STRUCT_DISTILL_STEPS / STRUCT_SEQS override sizes,
+STRUCT_OUT directs the JSON report (default checkpoints/struct_<scale>.json).
+Run: python tools/train_struct_base.py      (mid holds the TPU ~20-40 min)
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+import numpy as np
+
+SCALES = {
+    # CPU/CI scale: the full pipeline in a few minutes. The corpus must be
+    # big enough that learning the STRUCTURE beats memorizing sequences
+    # (the first cut at 384x96 tokens hit Bayes-level top-1 on train and
+    # 0.04 held-out — pure memorization).
+    "tiny": dict(vocab=512, hidden=128, inter=320, layers=4, heads=4, kv=4,
+                 n_classes=16, copy_dist=8, seq_len=96, n_seqs=2048,
+                 holdout=64, batch=16, steps=800, lr=3e-3,
+                 distill_steps=400, rollouts=48, gen_tokens=48,
+                 prompt_len=24, draft_width=64, distill_batch=8),
+    # hardware scale: ~170M params. Sizing from the first run's
+    # trajectory (3000 steps -> held-out top1 0.146, still climbing;
+    # 160 rollouts -> the draft memorized them, train-agree 0.99 vs
+    # held-out 0.148): 5x the base steps, 4x the rollouts.
+    "mid": dict(vocab=8192, hidden=1024, inter=2816, layers=12, heads=16,
+                kv=16, n_classes=64, copy_dist=16, seq_len=512,
+                n_seqs=16384, holdout=64, batch=16, steps=15000, lr=1e-3,
+                distill_steps=12000, rollouts=640, gen_tokens=256,
+                prompt_len=64, draft_width=512, distill_batch=16),
+}
+
+DRAFT_FIELDS = ("fc_w", "fc_b", "wq", "wk", "wv", "wo",
+                "w_gate", "w_up", "w_down", "post_ln", "w_out")
+
+
+def model_config(s):
+    from flowspec_tpu.config import ModelConfig
+    return ModelConfig(vocab_size=s["vocab"], hidden_size=s["hidden"],
+                       intermediate_size=s["inter"],
+                       num_hidden_layers=s["layers"],
+                       num_attention_heads=s["heads"],
+                       num_key_value_heads=s["kv"],
+                       max_position_embeddings=2560)
+
+
+def train_base(mc, corpus_train, s, steps, log=print):
+    """Next-token CE on the corpus; f32 master weights, bf16 compute,
+    remat over the layer scan. Returns bf16 LlamaParams."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flowspec_tpu.models.bias import prefill_bias
+    from flowspec_tpu.models.llama import (
+        decoder_layer, embed_tokens, final_hidden, init_llama_params,
+        lm_head_logits)
+
+    dt = jnp.bfloat16
+    batch, lr = s["batch"], s["lr"]
+    t_len = corpus_train.shape[1]
+    n_train = corpus_train.shape[0]
+
+    def lm_loss(params, tok_b):
+        p = jax.tree_util.tree_map(
+            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
+        b = tok_b.shape[0]
+        x = embed_tokens(p, tok_b)
+        pos = jnp.arange(t_len, dtype=jnp.int32)
+        bias = prefill_bias(jnp.zeros((), jnp.int32), t_len, t_len,
+                            dtype=jnp.float32)
+
+        def body(carry, lp):
+            k0 = jnp.zeros((b, mc.num_key_value_heads, t_len, mc.head_dim_),
+                           dt)
+            y, _, _ = decoder_layer(carry, lp, k0, jnp.zeros_like(k0), pos,
+                                    bias, jnp.zeros((), jnp.int32), mc)
+            return y, None
+
+        x, _ = jax.lax.scan(jax.checkpoint(body), x, p.layers)
+        h = final_hidden(p, x, mc)
+        logits = lm_head_logits(p, h[:, :-1])          # (B, T-1, V) f32
+        labels = tok_b[:, 1:]
+        lsm = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(lsm, labels[..., None], axis=-1).mean()
+        acc = (jnp.argmax(logits, axis=-1) == labels).mean()
+        return ce, acc
+
+    params = init_llama_params(jax.random.key(3), mc, dtype=jnp.float32)
+    opt = optax.adamw(optax.cosine_decay_schedule(lr, steps, 0.05),
+                      b1=0.9, b2=0.95, weight_decay=0.01)
+    opt_state = opt.init(params)
+
+    def one_step(carry, it, corpus):
+        params, opt_state = carry
+        k = jax.random.fold_in(jax.random.key(4242), it)
+        idx = jax.random.randint(k, (batch,), 0, n_train)
+        (ce, acc), g = jax.value_and_grad(lm_loss, has_aux=True)(
+            params, corpus[idx])
+        upd, opt_state = opt.update(g, opt_state, params)
+        return (optax.apply_updates(params, upd), opt_state), (ce, acc)
+
+    chunk = min(100, steps)
+    # corpus is an ARGUMENT (not a closure capture): captured device arrays
+    # are baked into the HLO and the tunneled remote-compile endpoint
+    # rejects multi-MB uploads (CLAUDE.md round-3 notes)
+
+    @jax.jit
+    def run_chunk(params, opt_state, it0, corpus):
+        (params, opt_state), (ces, accs) = jax.lax.scan(
+            lambda c, it: one_step(c, it, corpus), (params, opt_state),
+            it0 + jnp.arange(chunk, dtype=jnp.int32))
+        return params, opt_state, ces[-1], accs[-1]
+
+    tok_dev = jnp.asarray(corpus_train)
+    t0 = time.time()
+    for c in range(0, steps, chunk):
+        params, opt_state, ce, acc = run_chunk(
+            params, opt_state, jnp.asarray(c, jnp.int32), tok_dev)
+        log(f"base step {c+chunk:5d}/{steps} ce {float(ce):.4f} "
+            f"top1 {float(acc):.3f} ({time.time()-t0:.0f}s)")
+    del opt_state
+    eval_loss = jax.jit(lm_loss)
+    bf16 = jax.tree_util.tree_map(
+        lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
+    return bf16, (lambda tok_b: eval_loss(params, tok_b))
+
+
+def oracle_top1(corpus_holdout, s, n_positions=512):
+    """Bayes-optimal top-1 accuracy on held-out positions (the ceiling a
+    perfectly trained base approaches)."""
+    from flowspec_tpu.eval.synth import oracle_next_token_dist
+    rng = np.random.default_rng(7)
+    hit = 0
+    n = 0
+    for _ in range(n_positions):
+        r = rng.integers(0, corpus_holdout.shape[0])
+        t = rng.integers(s["copy_dist"] + 1, s["seq_len"])
+        p = oracle_next_token_dist(corpus_holdout[r], t, s["vocab"],
+                                   n_classes=s["n_classes"],
+                                   copy_dist=s["copy_dist"], table_seed=0)
+        hit += int(np.argmax(p) == corpus_holdout[r, t])
+        n += 1
+    return hit / n
+
+
+def distill_draft(params, mc, s, engine_cfg, log=print):
+    """tools/train_bench_draft.py protocol against the TRAINED base:
+    greedy rollouts from held-out-corpus prompts, teacher final-norm
+    hiddens, thin-draft huber+hard-CE training, held-out alpha selection."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flowspec_tpu.draft.eagle import (
+        EagleParams, draft_view, eagle_layer, fuse, init_eagle_params,
+        project_out)
+    from flowspec_tpu.models import model_forward
+    from flowspec_tpu.models.bias import prefill_bias
+    from flowspec_tpu.models.kv_cache import init_kv_cache
+    from flowspec_tpu.models.llama import embed_tokens, final_hidden
+    from flowspec_tpu.runtime.engine import SpecEngine
+
+    dt = jnp.bfloat16
+    rollouts, n_hold = s["rollouts"], 4
+    prompt_len, gen_tokens = s["prompt_len"], s["gen_tokens"]
+    seq_len = prompt_len + gen_tokens
+
+    from flowspec_tpu.eval.synth import gen_struct_corpus
+    # rollout prompts: prefixes of FRESH corpus draws (seed 1), disjoint
+    # from both the training corpus (seed 0) and the eval prompts below
+    prompt_pool = gen_struct_corpus(
+        rollouts + n_hold, max(prompt_len + 1, s["copy_dist"] + 2),
+        vocab=s["vocab"], seed=1, n_classes=s["n_classes"],
+        copy_dist=s["copy_dist"])[:, :prompt_len]
+
+    rnd_draft = init_eagle_params(jax.random.key(5), mc, embed=params.embed,
+                                  dtype=dt)
+    eng = SpecEngine(params, rnd_draft, engine_cfg)
+    t0 = time.time()
+    seqs = []
+    for i in range(rollouts + n_hold):
+        out, _ = eng.generate_ar_fused(prompt_pool[i],
+                                       max_new_tokens=gen_tokens,
+                                       eos_token_id=-1)
+        seqs.append(np.asarray(out[:seq_len], np.int32))
+        if (i + 1) % 32 == 0:
+            log(f"rollout {i+1}/{rollouts+n_hold} ({time.time()-t0:.0f}s)")
+    tokens = np.stack(seqs)
+    uniq = [len(set(q[prompt_len:].tolist())) for q in seqs]
+    log(f"rollouts {tokens.shape}; unique-gen-tokens min/med/max = "
+        f"{min(uniq)}/{sorted(uniq)[len(uniq)//2]}/{max(uniq)}")
+
+    kv_rows = -(-seq_len // 64) * 64
+
+    @jax.jit
+    def hiddens_of(params, seq):
+        cache = init_kv_cache(mc.num_hidden_layers, 1,
+                              mc.num_key_value_heads, kv_rows, mc.head_dim_,
+                              dt)
+        hidden = embed_tokens(params, seq[None])
+        bias = prefill_bias(jnp.zeros((), jnp.int32), seq_len, kv_rows)
+        pos = jnp.arange(seq_len, dtype=jnp.int32)
+        out, _ = model_forward(params, cache, hidden, pos, bias,
+                               jnp.zeros((), jnp.int32), mc)
+        return final_hidden(params, out, mc)[0]
+
+    hiddens = jnp.stack([hiddens_of(params, jnp.asarray(tokens[r]))
+                         for r in range(rollouts + n_hold)])
+    float(jnp.sum(hiddens[0, 0, :4].astype(jnp.float32)))
+    log(f"teacher hiddens {hiddens.shape}")
+
+    width = s["draft_width"]
+    draft0 = init_eagle_params(jax.random.key(9), mc, embed=params.embed,
+                               dtype=jnp.float32, width=width)
+    dcfg = draft_view(draft0, mc)
+    t_pairs = seq_len - 1
+    head = params.lm_head
+
+    def draft_forward(trainable, embed, tok_b, hid_b):
+        p = EagleParams(embed=embed, **trainable)
+        h_in = hid_b[:, :-1].astype(jnp.float32)
+        x = fuse(p, tok_b[:, 1:], h_in)
+        pos = jnp.arange(t_pairs, dtype=jnp.int32)
+        bias = jnp.where(pos[None, :] <= pos[:, None], 0.0,
+                         -1e9).astype(jnp.float32)
+
+        def one(x1, h1):
+            k = jnp.zeros((1, dcfg.num_key_value_heads, t_pairs,
+                           dcfg.head_dim_), jnp.float32)
+            out, _, _ = eagle_layer(x1[None], p, k, jnp.zeros_like(k), pos,
+                                    bias, jnp.zeros((), jnp.int32), dcfg)
+            return project_out(p, out, h1[None])[0]
+
+        return jax.vmap(one)(x, h_in)
+
+    def loss_fn(trainable, consts, tok_b, hid_b):
+        out = draft_forward(trainable, consts["embed"], tok_b, hid_b)
+        tgt = hid_b[:, 1:].astype(jnp.float32)
+        d = out - tgt
+        ad = jnp.abs(d)
+        hub = jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5).mean()
+        ld = jnp.einsum("bth,hv->btv", out.astype(dt), consts["head"],
+                        preferred_element_type=jnp.float32)
+        lt = jnp.einsum("bth,hv->btv", hid_b[:, 1:], consts["head"],
+                        preferred_element_type=jnp.float32)
+        lab = jnp.argmax(lt, axis=-1)
+        lsm = jax.nn.log_softmax(ld, axis=-1)
+        ce = -jnp.take_along_axis(lsm, lab[..., None], axis=-1).mean()
+        agree = (jnp.argmax(ld, axis=-1) == lab).mean()
+        return 0.5 * hub + ce, (hub, ce, agree)
+
+    trainable = {f: getattr(draft0, f) for f in DRAFT_FIELDS}
+    steps = s["distill_steps"]
+    opt = optax.adamw(optax.cosine_decay_schedule(1e-3, steps, 0.02),
+                      weight_decay=1e-4)
+    opt_state = opt.init(trainable)
+    batch = s["distill_batch"]
+    tok_dev = jnp.asarray(tokens)
+
+    def one_step(carry, it, consts):
+        trainable, opt_state = carry
+        k = jax.random.fold_in(jax.random.key(1234), it)
+        idx = jax.random.randint(k, (batch,), 0, rollouts)
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, consts, consts["tok"][idx], consts["hid"][idx])
+        upd, opt_state = opt.update(g, opt_state, trainable)
+        return (optax.apply_updates(trainable, upd), opt_state), (l,) + aux
+
+    chunk = min(200, steps)
+
+    @jax.jit
+    def run_chunk(trainable, opt_state, it0, consts):
+        (trainable, opt_state), (ls, hubs, ces, ags) = jax.lax.scan(
+            lambda c, it: one_step(c, it, consts), (trainable, opt_state),
+            it0 + jnp.arange(chunk, dtype=jnp.int32))
+        return trainable, opt_state, ls[-1], ags[-1]
+
+    consts = {"tok": tok_dev, "hid": hiddens, "embed": params.embed,
+              "head": head}
+    t0 = time.time()
+    for c in range(0, steps, chunk):
+        trainable, opt_state, l, ag = run_chunk(
+            trainable, opt_state, jnp.asarray(c, jnp.int32), consts)
+        log(f"distill step {c+chunk:5d}/{steps} loss {float(l):.4f} "
+            f"top1-agree {float(ag):.3f} ({time.time()-t0:.0f}s)")
+
+    @jax.jit
+    def eval_agree(trainable, consts, tok_b, hid_b):
+        _, (hub, ce, agree) = loss_fn(trainable, consts, tok_b, hid_b)
+        return agree
+
+    # held-out alpha selection (delta shrink; see train_bench_draft.py —
+    # on the random base it selects 0; a structured base should keep >0)
+    best_a, best_ag = 0.0, -1.0
+    for a in (0.0, 0.1, 0.25, 0.5, 0.75, 1.0):
+        tr_a = {**trainable, "w_out": trainable["w_out"] * a}
+        ag = float(eval_agree(tr_a, consts, tok_dev[rollouts:],
+                              hiddens[rollouts:]))
+        log(f"alpha {a:4.2f}: held-out top1-agree {ag:.3f}")
+        if ag > best_ag:
+            best_a, best_ag = a, ag
+    log(f"selected alpha={best_a} (held-out agree {best_ag:.3f})")
+    trainable = {**trainable, "w_out": trainable["w_out"] * best_a}
+
+    draft = EagleParams(embed=params.embed, **{
+        f: jnp.asarray(trainable[f], dt) for f in DRAFT_FIELDS})
+    return draft, {"holdout_top1_agree": round(best_ag, 4),
+                   "w_out_alpha": best_a, "width": width}
+
+
+def run(scale: str, log=print):
+    import jax
+    import jax.numpy as jnp
+    from flowspec_tpu.config import (
+        EngineConfig, SamplingConfig, TreeConfig)
+    from flowspec_tpu.eval.synth import gen_struct_corpus
+    from flowspec_tpu.runtime.engine import SpecEngine
+
+    s = dict(SCALES[scale])
+    s["steps"] = int(os.environ.get("STRUCT_STEPS", s["steps"]))
+    s["distill_steps"] = int(os.environ.get("STRUCT_DISTILL_STEPS",
+                                            s["distill_steps"]))
+    s["n_seqs"] = int(os.environ.get("STRUCT_SEQS", s["n_seqs"]))
+    mc = model_config(s)
+
+    log(f"[{scale}] corpus {s['n_seqs']}x{s['seq_len']} vocab {s['vocab']}")
+    corpus = gen_struct_corpus(s["n_seqs"] + s["holdout"], s["seq_len"],
+                               vocab=s["vocab"], seed=0,
+                               n_classes=s["n_classes"],
+                               copy_dist=s["copy_dist"])
+    train, hold = corpus[:s["n_seqs"]], corpus[s["n_seqs"]:]
+
+    params, eval_loss = train_base(mc, train, s, s["steps"], log=log)
+    import jax.numpy as jnp
+    ce_h, acc_h = (float(x) for x in eval_loss(jnp.asarray(hold)))
+    bayes = oracle_top1(hold, s)
+    log(f"held-out: top1 {acc_h:.3f} (Bayes oracle {bayes:.3f}, "
+        f"ratio {acc_h/max(bayes,1e-9):.2f}) ce {ce_h:.3f}")
+
+    prompt_len, gen_tokens = s["prompt_len"], s["gen_tokens"]
+    max_seq = prompt_len + gen_tokens + 24
+    tc = TreeConfig(top_k=8, depth=6, total_tokens=48, expand_tokens=24,
+                    expand_depth=2, node_cap=64, leaf_cap=64, depth_cap=10)
+    cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                       max_new_tokens=gen_tokens, max_seq_len=max_seq,
+                       prefill_chunk=32)
+
+    draft, dstats = distill_draft(params, mc, s, cfg, log=log)
+
+    # ---- engine eval: greedy + T=1, spec vs AR ------------------------
+    eng = SpecEngine(params, draft, cfg)
+    eng_t1 = SpecEngine(params, draft, dataclasses.replace(
+        cfg, sampling=SamplingConfig(temperature=1.0)))
+    res = {"scale": scale, "params_m": round(sum(
+        int(np.prod(np.shape(l))) for l in jax.tree_util.tree_leaves(params)
+    ) / 1e6, 1), "base_holdout_top1": round(acc_h, 4),
+        "bayes_oracle_top1": round(bayes, 4), "base_holdout_ce": round(ce_h, 4),
+        **dstats}
+
+    accs, accs_t1, losses, match = [], [], 0, []
+    n_eval = 6
+    tps_spec, tps_ar = [], []
+    eval_prompts = gen_struct_corpus(
+        n_eval, max(prompt_len + 1, s["copy_dist"] + 2), vocab=s["vocab"],
+        seed=2, n_classes=s["n_classes"], copy_dist=s["copy_dist"]
+    )[:, :prompt_len]
+    for i in range(n_eval):
+        prompt = eval_prompts[i]
+        t0 = time.time()
+        ar, _ = eng.generate_ar_fused(prompt, max_new_tokens=gen_tokens,
+                                      eos_token_id=-1)
+        dt_ar = time.time() - t0
+        t0 = time.time()
+        out, st = eng.generate_fused(prompt, max_new_tokens=gen_tokens,
+                                     eos_token_id=-1)
+        dt_sp = time.time() - t0
+        n = min(len(out), len(ar))
+        div = next((j for j in range(n) if out[j] != ar[j]), n)
+        ok = div == n
+        losses += 0 if ok else 1
+        match.append(div / max(n, 1))   # bf16 near-tie flips show as
+        # high match_frac with ok=False (tools/tie_probe.py); real
+        # divergence shows as low match_frac
+        accs.append(st["accept_per_round"])
+        _, st1 = eng_t1.generate_fused(prompt, max_new_tokens=gen_tokens,
+                                       eos_token_id=-1)
+        accs_t1.append(st1["accept_per_round"])
+        if i > 0:     # first pair pays compiles
+            tps_spec.append(st["new_tokens"] / dt_sp)
+            tps_ar.append(len(ar[prompt_len:]) / dt_ar)
+        log(f"eval {i}: accept {st['accept_per_round']:.2f} "
+            f"T1-accept {st1['accept_per_round']:.2f} lossless={ok}")
+    res.update({
+        "accept_per_round_greedy": round(float(np.mean(accs)), 3),
+        "accept_per_round_t1": round(float(np.mean(accs_t1)), 3),
+        "greedy_lossless": f"{n_eval-losses}/{n_eval}",
+        "ar_match_frac": round(float(np.mean(match)), 4),
+        "spec_tok_s": round(float(np.mean(tps_spec)), 2),
+        "ar_tok_s": round(float(np.mean(tps_ar)), 2),
+        "protocol": "train_struct_base.py: structured corpus (synth.py "
+                    "seed 0) -> base trained from scratch -> rollout "
+                    "prompts seed 1 -> eval prompts seed 2 (all disjoint)"})
+    return params, draft, res
+
+
+def main():
+    scale = os.environ.get("STRUCT_SCALE", "mid")
+    import jax
+    if scale == "tiny":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE", "/tmp/flowspec_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    params, draft, res = run(scale)
+    out = os.environ.get("STRUCT_OUT", os.path.join(
+        _ROOT, "checkpoints", f"struct_{scale}.json"))
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))
+    # weights go to /tmp (a ~340MB mid-scale base doesn't belong in git;
+    # the corpus + training are deterministic-by-seed and re-runnable)
+    np.savez_compressed(f"/tmp/struct_base_{scale}.npz", **{
+        f"p{i}": np.asarray(l).astype(np.float16) for i, l in enumerate(
+            jax.tree_util.tree_leaves(params))})
+    print(f"report: {out}; weights: /tmp/struct_base_{scale}.npz")
+
+
+if __name__ == "__main__":
+    main()
