@@ -56,11 +56,14 @@ def test_struct_corpus_is_deterministic_and_predictable():
 
 def test_struct_base_pipeline_earns_acceptance():
     """Full tiny-scale pipeline. Measured on CPU (deterministic seeds):
-    base held-out top1 0.112 (unigram ~0.06, Bayes 0.398), selected
-    w_out alpha 0.25 (> 0: the learned delta GENERALIZES — on the random
-    bench base alpha selection degenerates to 0), greedy accept/round
-    1.34 with 6/6 lossless, T=1 accept 1.10 (> 1: real rejection-sampling
-    acceptance, impossible on the random base's flat softmax)."""
+    base held-out top1 0.112 (unigram ~0.06, Bayes 0.398); STREAMING
+    distillation (fresh data every pool — memorization impossible, see
+    distill_draft) reaches held-out top1-agree 0.268 with selected
+    w_out alpha 0.75 (> 0: the learned delta GENERALIZES — on the random
+    bench base alpha selection degenerates to 0); greedy accept/round
+    1.54 with 6/6 lossless in the f32 engine; T=1 accept 1.14 (> 1: real
+    rejection-sampling acceptance, impossible on the random base's flat
+    softmax)."""
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     import train_struct_base as tsb
     _params, _draft, res = tsb.run("tiny", log=lambda *a, **k: None)
@@ -68,11 +71,11 @@ def test_struct_base_pipeline_earns_acceptance():
     # the base learned the structure, not the sequences
     assert res["base_holdout_top1"] >= 0.09, res
     assert res["bayes_oracle_top1"] >= 0.30, res
-    # the distilled delta generalizes to held-out rollouts
+    # the distilled delta generalizes (data is all-fresh by construction)
     assert res["w_out_alpha"] > 0, res
-    assert res["holdout_top1_agree"] >= 0.15, res
+    assert res["holdout_top1_agree"] >= 0.20, res
     # earned acceptance: greedy and stochastic both above 1
-    assert res["accept_per_round_greedy"] >= 1.25, res
-    assert res["accept_per_round_t1"] >= 1.04, res
+    assert res["accept_per_round_greedy"] >= 1.40, res
+    assert res["accept_per_round_t1"] >= 1.08, res
     ok, n = res["greedy_lossless"].split("/")
     assert int(ok) >= int(n) - 1, res

@@ -127,23 +127,29 @@ def main():
                 emit({"mode": mode, "tok_s": round(tps, 2)})
             elif mode in ("serve4", "batch4", "stream"):
                 d = trained or rnd_draft
-                eng = BatchedSpecEngine(params, d,
-                                        cfg_of(mseq=384,
-                                               tuned=trained is not None),
-                                        batch_size=4)
-                prompts = [rng0.integers(10, 1000, 64) for _ in range(8)]
+                # SUITE_BATCH/SUITE_MSEQ right-size the slots for memory:
+                # 13B mixed OOMs at 4x384-row lanes beside 9GB of weights
+                # (BENCH_SUITE rows r03); batch 2 fits
+                sb = int(os.environ.get("SUITE_BATCH", "4"))
+                eng = BatchedSpecEngine(
+                    params, d,
+                    cfg_of(mseq=int(os.environ.get("SUITE_MSEQ", "384")),
+                           tuned=trained is not None),
+                    batch_size=sb)
+                prompts = [rng0.integers(10, 1000, 64) for _ in range(2 * sb)]
                 if mode == "serve4":
                     gen = lambda p_, **kw: eng.serve(
                         prompts, rounds_per_dispatch=256, **kw)
                     tps, stats = timed(gen, prompt, 128)
-                    emit({"mode": mode, "tok_s": round(tps, 2),
+                    emit({"mode": mode, "batch": sb,
+                          "tok_s": round(tps, 2),
                           "slot_utilization": round(
                               stats["slot_utilization"], 3),
                           "tree_nodes": eng.cfg.tree.node_cap,
                           "draft": "trained" if trained else "random"})
                 elif mode == "batch4":
                     gen = lambda p_, **kw: eng.generate_batch_fused(
-                        prompts[:4], **kw)
+                        prompts[:sb], **kw)
                     tps, stats = timed(gen, prompt, 128)
                     emit({"mode": mode, "tok_s": round(tps, 2),
                           "draft": "trained" if trained else "random"})
