@@ -358,18 +358,27 @@ def distill_draft(params, mc, s, log=print):
     ho_toks, ho_hid = pool_of(999_983)
     consts = {"tok": ho_toks, "hid": ho_hid, "embed": params.embed,
               "head": head}
-    best_a, best_ag = 0.0, -1.0
-    for a in (0.0, 0.1, 0.25, 0.5, 0.75, 1.0):
-        tr_a = {**trainable, "w_out": trainable["w_out"] * a}
-        ag = float(eval_agree(tr_a, consts, ho_toks[:fb], ho_hid[:fb]))
-        log(f"alpha {a:4.2f}: held-out top1-agree {ag:.3f}")
-        if ag > best_ag:
-            best_a, best_ag = a, ag
-    log(f"selected alpha={best_a} (held-out agree {best_ag:.3f})")
-    trainable = {**trainable, "w_out": trainable["w_out"] * best_a}
+    if trainable["w_out"] is None:
+        # full-width draft: project_out returns the layer output directly
+        # (no residual delta head), so there is no delta to shrink
+        best_a = 1.0
+        best_ag = float(eval_agree(trainable, consts, ho_toks[:fb],
+                                   ho_hid[:fb]))
+        log(f"full-width draft: held-out top1-agree {best_ag:.3f}")
+    else:
+        best_a, best_ag = 0.0, -1.0
+        for a in (0.0, 0.1, 0.25, 0.5, 0.75, 1.0):
+            tr_a = {**trainable, "w_out": trainable["w_out"] * a}
+            ag = float(eval_agree(tr_a, consts, ho_toks[:fb], ho_hid[:fb]))
+            log(f"alpha {a:4.2f}: held-out top1-agree {ag:.3f}")
+            if ag > best_ag:
+                best_a, best_ag = a, ag
+        log(f"selected alpha={best_a} (held-out agree {best_ag:.3f})")
+        trainable = {**trainable, "w_out": trainable["w_out"] * best_a}
 
     draft = EagleParams(embed=params.embed, **{
-        f: jnp.asarray(trainable[f], dt) for f in DRAFT_FIELDS})
+        f: None if trainable[f] is None else jnp.asarray(trainable[f], dt)
+        for f in DRAFT_FIELDS})
     return draft, {"holdout_top1_agree": round(best_ag, 4),
                    "w_out_alpha": best_a, "width": width,
                    "distill_fresh_seqs": n_outer * pool}
@@ -407,6 +416,10 @@ def run(scale: str, log=print):
         ce_h, acc_h = (float(x) for x in lm_loss(params, jnp.asarray(hold)))
     else:
         params, eval_loss = train_base(mc, train, s, s["steps"], log=log)
+        # checkpoint immediately: a crash in a later phase must not cost
+        # the ~30 min of base training (it did once)
+        save_base(params, f"/tmp/struct_base_{scale}_last.npz")
+        log(f"base saved: /tmp/struct_base_{scale}_last.npz")
         ce_h, acc_h = (float(x) for x in eval_loss(jnp.asarray(hold)))
     bayes = oracle_top1(hold, s)
     log(f"held-out: top1 {acc_h:.3f} (Bayes oracle {bayes:.3f}, "
