@@ -525,7 +525,8 @@ class BatchedSpecEngine(SpecEngine):
     def serve_stream(self, prompts: Sequence, arrivals_s: Sequence[float],
                      max_new_tokens=None, eos_token_id: int = 2,
                      seed: int = 0, rounds_per_dispatch: int = 8,
-                     clock=None, queue_order: str = "fifo"):
+                     clock=None, queue_order: str = "fifo",
+                     starvation_cap: int | None = None):
         """Streaming-arrival continuous batching: request r only becomes
         admittable `arrivals_s[r]` seconds after serving starts. Between
         device dispatches the host appends newly-arrived requests to the
@@ -548,7 +549,16 @@ class BatchedSpecEngine(SpecEngine):
         earlier (lower mean latency; can starve long requests under
         sustained load), "lpt" the reverse (drains the tail wave). Requests
         already admitted (or consumed mid-dispatch) keep their positions;
-        future arrivals stay in arrival order until they land."""
+        future arrivals stay in arrival order until they land.
+
+        `starvation_cap` bounds how many host-boundary reorders may jump a
+        pending request before it is PROMOTED: once a request has been
+        scheduled behind a later arrival `starvation_cap` times, it pins to
+        the front of the pending segment (promoted requests keep arrival
+        order among themselves) and the policy only orders the rest. This
+        is classic aging-by-bypass-count — it makes sjf starvation-free
+        under sustained short-job load while preserving its mean-latency
+        win when no one waits long. None (default) keeps the pure policy."""
         import time as _time
         n_req = len(prompts)
         assert len(arrivals_s) == n_req, (len(arrivals_s), n_req)
@@ -575,6 +585,7 @@ class BatchedSpecEngine(SpecEngine):
         finish_round = [0] * n_req
         admit_s = [0.0] * n_req
         finish_s = [0.0] * n_req
+        bypass_count = [0] * n_req   # aging state for starvation_cap
 
         p_cap = self.cfg.max_seq_len
         n_pad = max(8, 1 << (n_req - 1).bit_length())
@@ -632,8 +643,23 @@ class BatchedSpecEngine(SpecEngine):
             if queue_order != "fifo" and n_arrived > qh0:
                 pend = [r for r in order[qh0:] if arrivals_s[r] <= t]
                 fut = [r for r in order[qh0:] if arrivals_s[r] > t]
-                new_tail = self._queue_schedule(pend, budgets,
-                                                queue_order) + fut
+                if starvation_cap is not None:
+                    promoted = [r for r in pend
+                                if bypass_count[r] >= starvation_cap]
+                    promoted.sort(key=lambda r: (arrivals_s[r], r))
+                    rest = [r for r in pend
+                            if bypass_count[r] < starvation_cap]
+                    sched = promoted + self._queue_schedule(
+                        rest, budgets, queue_order)
+                    # a pending request is bypassed this boundary when a
+                    # LATER arrival is scheduled ahead of it
+                    for i, r in enumerate(sched):
+                        if any((arrivals_s[x], x) > (arrivals_s[r], r)
+                               for x in sched[:i]):
+                            bypass_count[r] += 1
+                else:
+                    sched = self._queue_schedule(pend, budgets, queue_order)
+                new_tail = sched + fut
                 if new_tail != order[qh0:]:
                     order[qh0:] = new_tail
                     q_prompts, q_lens, q_budgets = _write_queue_rows(qh0)

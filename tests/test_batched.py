@@ -266,6 +266,50 @@ def test_serve_stream_sjf_admits_short_pending_first():
         assert (a[2] < a[1]) == r2_first, (policy, a)
 
 
+def test_serve_stream_sjf_starvation_cap_promotes_long_request():
+    """Aging under sjf: a long request pending behind a wave of later
+    short arrivals is bypassed at every reorder under pure sjf (admitted
+    dead last) but promoted to the queue front once its bypass count hits
+    `starvation_cap` — and the token streams stay equal to the solo AR
+    runs either way."""
+    eng = _setup(batch_size=1)
+    rng = np.random.default_rng(37)
+    prompts = [rng.integers(3, 14, 6).tolist() for _ in range(5)]
+    # r0 is mid-flight when r1 (long) and then the shorts r2-r4 arrive
+    # (the fake clock advances 0.05/call, ~0.1-0.15 per dispatch, so r0's
+    # ~9 single-round dispatches span all the arrivals)
+    budgets = [6, 9, 2, 2, 2]
+    arrivals = [0.0, 0.3, 0.35, 0.4, 0.45]
+    refs = [eng.generate_ar(p, max_new_tokens=m, eos_token_id=-1)[0]
+            for p, m in zip(prompts, budgets)]
+
+    def make_clock():
+        state = {"t": 0.0}
+
+        def clock():
+            state["t"] += 0.05
+            return state["t"]
+        return clock
+
+    admits = {}
+    for cap in (None, 1):
+        outs, stats = eng.serve_stream(
+            prompts, arrivals, max_new_tokens=budgets, eos_token_id=-1,
+            rounds_per_dispatch=1, clock=make_clock(), queue_order="sjf",
+            starvation_cap=cap)
+        for i, (o, r) in enumerate(zip(outs, refs)):
+            assert o == r, (cap, i, o, r)
+        admits[cap] = stats["admit_rounds"]
+    # pure sjf: every later short jumps r1 -> r1 admitted last
+    a = admits[None]
+    assert a[1] == max(a), a
+    # cap=1: after one bypass r1 pins to the pending front. The short that
+    # earned it that bypass (r2) may already be at the queue front when
+    # promotion lands, but the later wave (r3, r4) can no longer starve it.
+    a = admits[1]
+    assert a[1] < a[3] and a[1] < a[4], a
+
+
 def test_serve_stream_arrivals():
     """Streaming-arrival serving (r2 verdict #9): requests become
     admittable over time; outputs still equal the solo AR runs, arrivals
