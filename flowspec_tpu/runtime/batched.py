@@ -116,9 +116,17 @@ class BatchedSpecEngine(SpecEngine):
 
             def run_k(batched, params, draft, beam_head, bctx,
                       lane_req, emitted, lane_budget, qhead,
-                      q_prompts, q_lens, q_budgets, n_q, eos_id, seed):
+                      q_prompts, q_lens, q_budgets, n_q, eos_id, seed,
+                      tp_commit, tp_draft_len, tp_pt, tp_ph, tp_np):
                 """lane_req: (B,) request id per slot (-1 idle); qhead: ()
                 next queue index. q_* are the FULL (padded) request queue.
+                tp_*: the shared-prefix template a refilled lane resumes
+                from — commit/KV lengths, queued draft pairs of the last
+                prefix chunk, pair count (all zeros when no shared prefix;
+                see _prefix_template). The prefix KV PAYLOAD rows
+                [0, tp_commit) are carried by the lane states themselves:
+                every lane starts as a template copy and nothing ever
+                writes below commit_len, so refills only reset lengths.
                 Returns the carried lane arrays plus one packed buffer:
                 packed[j, s, :d_cap]  = accepted tokens of round j, slot s
                 packed[j, s,  d_cap]  = n_accepted
@@ -177,15 +185,28 @@ class BatchedSpecEngine(SpecEngine):
                                              ctx3.prompt_buf),
                         prompt_len=jnp.where(free, q_lens[qsafe],
                                              ctx3.prompt_len),
-                        prompt_pos=jnp.where(free, 0, ctx3.prompt_pos),
+                        prompt_pos=jnp.where(free, tp_commit,
+                                             ctx3.prompt_pos),
                         active=jnp.where(free, has, ctx3.active))
-                    # reset the refilled lanes' engine state: scalars and
-                    # pending buffers to zero, fresh per-request PRNG key;
-                    # KV payloads stay (rows past commit_len are masked),
-                    # only their lengths reset
-                    z = lambda a: jnp.where(
-                        jnp.reshape(free, free.shape + (1,) * (a.ndim - 1)),
-                        jnp.zeros_like(a), a)
+                    # reset the refilled lanes' engine state to the prefix
+                    # template (all-zero without a shared prefix): lengths
+                    # back to the prefix watermark, the template's queued
+                    # pairs with the request's FIRST SUFFIX TOKEN patched
+                    # into the root slot, fresh per-request PRNG key. KV
+                    # payloads stay: rows < tp_commit hold the prefix
+                    # (written once, never touched), rows past commit_len
+                    # are masked.
+                    sel = lambda new, old: jnp.where(
+                        jnp.reshape(free, free.shape + (1,) * (old.ndim - 1)),
+                        new, old)
+                    z = lambda a: sel(jnp.zeros_like(a), a)
+                    first_sfx = q_prompts[
+                        qsafe, jnp.clip(tp_commit, 0,
+                                        q_prompts.shape[1] - 1)]      # (B,)
+                    ctxn = tp_pt.shape[0]
+                    patched_pt = jnp.where(
+                        jnp.arange(ctxn)[None, :] == tp_np - 1,
+                        first_sfx[:, None], tp_pt[None, :])
                     kd = jax.random.key_data(st3.key)
                     fresh = jax.vmap(
                         lambda r: jax.random.key_data(
@@ -194,17 +215,20 @@ class BatchedSpecEngine(SpecEngine):
                         jnp.where(free[:, None], fresh, kd),
                         impl=jax.random.key_impl(st3.key))
                     st4 = EngineState(
-                        base_cache=KVCache(k=st3.base_cache.k,
-                                           v=st3.base_cache.v,
-                                           length=z(st3.base_cache.length)),
+                        base_cache=KVCache(
+                            k=st3.base_cache.k, v=st3.base_cache.v,
+                            length=sel(tp_commit,
+                                       st3.base_cache.length)),
                         draft_cache=KVCache(
                             k=st3.draft_cache.k, v=st3.draft_cache.v,
-                            length=z(st3.draft_cache.length)),
-                        commit_len=z(st3.commit_len),
-                        root_token=z(st3.root_token),
-                        pending_tokens=z(st3.pending_tokens),
-                        pending_hidden=z(st3.pending_hidden),
-                        n_pending=z(st3.n_pending),
+                            length=sel(tp_draft_len,
+                                       st3.draft_cache.length)),
+                        commit_len=sel(tp_commit, st3.commit_len),
+                        root_token=sel(jnp.where(has, first_sfx, 0),
+                                       st3.root_token),
+                        pending_tokens=sel(patched_pt, st3.pending_tokens),
+                        pending_hidden=sel(tp_ph[None], st3.pending_hidden),
+                        n_pending=sel(tp_np, st3.n_pending),
                         root_hidden=z(st3.root_hidden),
                         key=key2)
                     return st4, ctx4, req2, em3, bud2, qh2, accs2, i + 1
@@ -346,8 +370,10 @@ class BatchedSpecEngine(SpecEngine):
                       "kv_buckets_used": bi + 1}
 
     # ------------------------------------------------------------------
-    def _serve_ctx(self, prompt=None):
-        """ServeCtx for one slot; empty (inactive) when prompt is None."""
+    def _serve_ctx(self, prompt=None, prompt_pos: int = 0):
+        """ServeCtx for one slot; empty (inactive) when prompt is None.
+        `prompt_pos` > 0 marks a prefix already resident in the lane's KV
+        (shared-prefix serving) — the chain starts at that position."""
         p_cap = self.cfg.max_seq_len
         buf = np.zeros((p_cap,), np.int32)
         n = 0
@@ -357,8 +383,65 @@ class BatchedSpecEngine(SpecEngine):
             buf[:n] = pr
         return ServeCtx(prompt_buf=jnp.asarray(buf),
                         prompt_len=jnp.asarray(n, jnp.int32),
-                        prompt_pos=jnp.zeros((), jnp.int32),
+                        prompt_pos=jnp.asarray(prompt_pos, jnp.int32),
                         active=jnp.asarray(prompt is not None))
+
+    # ---- shared-prefix (prefix-cache) serving ------------------------
+    def _prefix_template(self, shared_prefix, seed: int):
+        """Prefill the shared prefix ONCE into a template EngineState.
+
+        The template stops before `_finish_prefill`: the last prefix
+        chunk's draft pairs stay QUEUED with a placeholder in the final
+        slot, exactly where a per-request patch drops in that request's
+        first suffix token (the same slot `_finish_prefill` patches the
+        sampled root into, engine.py:_finish_prefill). Every serve lane
+        starts as a copy of this state, so the prefix KV rows
+        [0, prefix_len) are computed once per serve() call instead of once
+        per request; nothing in a round ever writes below commit_len, so
+        device-side refills only reset lengths back to the watermark.
+        Returns (template_state, prefix_len)."""
+        prefix = np.asarray(shared_prefix, np.int32).reshape(-1)
+        assert len(prefix) > 0, "shared_prefix must be non-empty"
+        st, _ = self._prefill_chunks(self.init_state(seed + 777_000),
+                                     prefix)
+        return st, len(prefix)
+
+    def _template_consts(self, tstate):
+        """The (tp_commit, tp_draft_len, tp_pt, tp_ph, tp_np) scan args for
+        a prefix template — all zeros when serving without one."""
+        if tstate is None:
+            mc = self.cfg.model
+            return (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                    jnp.zeros((self.ctx_pad,), jnp.int32),
+                    jnp.zeros((1, self.ctx_pad, mc.hidden_size),
+                              jnp.dtype(mc.dtype)),
+                    jnp.zeros((), jnp.int32))
+        return (tstate.commit_len, tstate.draft_cache.length,
+                tstate.pending_tokens, tstate.pending_hidden,
+                tstate.n_pending)
+
+    def _lane_from_template(self, tstate, first_sfx, key_seed: int):
+        """A lane EngineState resuming from the prefix template for a
+        request whose first post-prefix token is `first_sfx` (None for an
+        idle lane — it still carries the prefix KV for future refills)."""
+        import dataclasses as dc
+        if first_sfx is None:
+            return dc.replace(tstate, key=jax.random.key(key_seed))
+        tok = jnp.asarray(int(first_sfx), jnp.int32)
+        pt = tstate.pending_tokens.at[tstate.n_pending - 1].set(tok)
+        return dc.replace(tstate, pending_tokens=pt, root_token=tok,
+                          key=jax.random.key(key_seed))
+
+    def _check_shared_prefix(self, prompts, shared_prefix):
+        """Every prompt must extend the shared prefix by >= 1 token."""
+        prefix = np.asarray(shared_prefix, np.int32).reshape(-1)
+        for i, p in enumerate(prompts):
+            pr = np.asarray(p, np.int32).reshape(-1)
+            if len(pr) <= len(prefix) or not np.array_equal(
+                    pr[:len(prefix)], prefix):
+                raise ValueError(
+                    f"prompt {i} does not strictly extend shared_prefix "
+                    f"(prompt len {len(pr)}, prefix len {len(prefix)})")
 
     @staticmethod
     def _queue_schedule(order, budgets, policy: str, start: int = 0):
@@ -388,7 +471,7 @@ class BatchedSpecEngine(SpecEngine):
     def serve(self, prompts: Sequence, max_new_tokens=None,
               eos_token_id: int = 2, seed: int = 0,
               rounds_per_dispatch: int = 256,
-              queue_order: str = "fifo"):
+              queue_order: str = "fifo", shared_prefix=None):
         """TOKEN-LEVEL continuous batching: up to `batch_size` slots run
         synchronized rounds; a slot whose request finishes is refilled from
         the device-resident queue IN-PROGRAM (see _get_serve_scan) and
@@ -408,7 +491,18 @@ class BatchedSpecEngine(SpecEngine):
         `max_new_tokens` may be a single budget or one per request.
         `queue_order` picks the admission policy over the request queue
         (see _queue_schedule): "fifo" (default), "sjf", or "lpt". Outputs
-        always come back in `prompts` order regardless of policy."""
+        always come back in `prompts` order regardless of policy.
+
+        `shared_prefix` (token list) turns on prefix-cache serving: every
+        prompt must start with it, it is prefilled ONCE into a template
+        (see _prefix_template), and each request — initial fills and
+        in-program device refills alike — starts at
+        commit_len = len(shared_prefix) with the prefix KV already
+        resident, consuming only its suffix through the prompt chain. The
+        per-request prefill work drops from ceil(len(prompt)/depth_cap)
+        to ceil(suffix/depth_cap) chain rounds — the dominant TTFT cost
+        for system-prompt-heavy workloads. Outputs are identical to
+        serving without it (tested)."""
         n_req = len(prompts)
         if max_new_tokens is None:
             budgets = [self.cfg.max_new_tokens] * n_req
@@ -421,6 +515,10 @@ class BatchedSpecEngine(SpecEngine):
         k = max(1, int(rounds_per_dispatch))
         for p, mx in zip(prompts, budgets):
             self._check_budget(p, mx)
+        tstate, pfx_len = None, 0
+        if shared_prefix is not None:
+            self._check_shared_prefix(prompts, shared_prefix)
+            tstate, pfx_len = self._prefix_template(shared_prefix, seed)
         scan_k = self._get_serve_scan(k)
         outs: List[list] = [list(np.asarray(p, np.int64)) for p in prompts]
         new_tokens = [0] * n_req
@@ -455,10 +553,16 @@ class BatchedSpecEngine(SpecEngine):
         states, ctxs = [], []
         for s in range(b):
             qp = slot_q[s]
-            states.append(self.init_state(seed + (qp if qp >= 0
-                                                  else 1000 + s)))
-            ctxs.append(self._serve_ctx(prompts[order[qp]]
-                                        if qp >= 0 else None))
+            kseed = seed + (qp if qp >= 0 else 1000 + s)
+            pr = (np.asarray(prompts[order[qp]], np.int32).reshape(-1)
+                  if qp >= 0 else None)
+            if tstate is None:
+                states.append(self.init_state(kseed))
+            else:
+                states.append(self._lane_from_template(
+                    tstate, int(pr[pfx_len]) if pr is not None else None,
+                    kseed))
+            ctxs.append(self._serve_ctx(pr, prompt_pos=pfx_len))
         batched = self._stack_states(states)
         bctx = self._stack_states(ctxs)
         lane_req = jnp.asarray(slot_q, jnp.int32)
@@ -473,6 +577,7 @@ class BatchedSpecEngine(SpecEngine):
         first_seen = [-1] * n_req
         for qp in range(min(b, n_req)):
             first_seen[order[qp]] = 0
+        tmpl = self._template_consts(tstate)
         while not all(finished):
             (batched, bctx, lane_req, emitted, lane_budget, qhead,
              packed) = scan_k(
@@ -481,7 +586,7 @@ class BatchedSpecEngine(SpecEngine):
                 q_prompts, q_lens, q_budgets,
                 jnp.asarray(n_req, jnp.int32),
                 jnp.asarray(eos_token_id, jnp.int32),
-                jnp.asarray(seed, jnp.int32))
+                jnp.asarray(seed, jnp.int32), *tmpl)
             packed = np.asarray(packed)          # ONE device->host fetch
             n_exec = int(packed[-1, 0, 0])
             assert n_exec > 0, "serve scan made no progress"
@@ -526,7 +631,8 @@ class BatchedSpecEngine(SpecEngine):
                      max_new_tokens=None, eos_token_id: int = 2,
                      seed: int = 0, rounds_per_dispatch: int = 8,
                      clock=None, queue_order: str = "fifo",
-                     starvation_cap: int | None = None):
+                     starvation_cap: int | None = None,
+                     shared_prefix=None):
         """Streaming-arrival continuous batching: request r only becomes
         admittable `arrivals_s[r]` seconds after serving starts. Between
         device dispatches the host appends newly-arrived requests to the
@@ -558,7 +664,11 @@ class BatchedSpecEngine(SpecEngine):
         order among themselves) and the policy only orders the rest. This
         is classic aging-by-bypass-count — it makes sjf starvation-free
         under sustained short-job load while preserving its mean-latency
-        win when no one waits long. None (default) keeps the pure policy."""
+        win when no one waits long. None (default) keeps the pure policy.
+
+        `shared_prefix` works as in serve(): the common prefix is
+        prefilled once, every lane (and every in-program refill) resumes
+        from it, and arrivals consume only their suffix."""
         import time as _time
         n_req = len(prompts)
         assert len(arrivals_s) == n_req, (len(arrivals_s), n_req)
@@ -572,6 +682,11 @@ class BatchedSpecEngine(SpecEngine):
         k = max(1, int(rounds_per_dispatch))
         for p, mx in zip(prompts, budgets):
             self._check_budget(p, mx)
+        tstate, pfx_len = None, 0
+        if shared_prefix is not None:
+            self._check_shared_prefix(prompts, shared_prefix)
+            tstate, pfx_len = self._prefix_template(shared_prefix, seed)
+        tmpl = self._template_consts(tstate)
         # arrival order is the initial queue order (the device consumes the
         # queue front-to-back); non-fifo policies reorder the pending
         # segment at host boundaries below
@@ -611,7 +726,10 @@ class BatchedSpecEngine(SpecEngine):
 
         t0 = _time.perf_counter()
         now = (lambda: _time.perf_counter() - t0) if clock is None else clock
-        states = [self.init_state(seed + 1000 + s) for s in range(b)]
+        states = [self.init_state(seed + 1000 + s) if tstate is None
+                  else self._lane_from_template(tstate, None,
+                                                seed + 1000 + s)
+                  for s in range(b)]
         ctxs = [self._serve_ctx(None) for _ in range(b)]
         batched = self._stack_states(states)
         bctx = self._stack_states(ctxs)
@@ -670,10 +788,15 @@ class BatchedSpecEngine(SpecEngine):
             for s in range(b):
                 if lane_np[s] < 0 and qh < n_arrived:
                     r = order[qh]
-                    st = self.init_state(seed + r)
+                    if tstate is None:
+                        st = self.init_state(seed + r)
+                    else:
+                        pr = np.asarray(prompts[r], np.int32).reshape(-1)
+                        st = self._lane_from_template(
+                            tstate, int(pr[pfx_len]), seed + r)
                     batched = self._write_slot(batched, st, s)
                     bctx = self._write_slot(bctx, self._serve_ctx(
-                        prompts[r]), s)
+                        prompts[r], prompt_pos=pfx_len), s)
                     lane_np[s] = qh
                     emitted = emitted.at[s].set(0)
                     lane_budget = lane_budget.at[s].set(budgets[r])
@@ -693,7 +816,7 @@ class BatchedSpecEngine(SpecEngine):
                 q_prompts, q_lens, q_budgets,
                 jnp.asarray(n_arrived, jnp.int32),
                 jnp.asarray(eos_token_id, jnp.int32),
-                jnp.asarray(seed, jnp.int32))
+                jnp.asarray(seed, jnp.int32), *tmpl)
             packed = np.asarray(packed)
             n_exec = int(packed[-1, 0, 0])
             accs = packed[:-1, :, :-2]

@@ -323,10 +323,13 @@ class SpecEngine:
         )
 
     # ---- prefill ---------------------------------------------------------
-    def prefill(self, state: EngineState, prompt: np.ndarray) -> EngineState:
-        """Chunked prefill (ref pipeline_prefill, pipeline_utils.py:183-288).
-        Chunks are padded to `prefill_chunk`; the draft context advances in
-        lockstep with pairs (token_{i+1}, base_hidden_i)."""
+    def _prefill_chunks(self, state: EngineState, prompt):
+        """The chunked-forward half of prefill: consume `prompt` through
+        `_prefill_chunk` calls, leaving the LAST chunk's draft pairs queued
+        (pending) with a placeholder in the final slot. `prefill` finishes
+        by sampling the root and draining; the serve prefix template stops
+        here so the per-request first-suffix-token can be patched into that
+        slot instead (see BatchedSpecEngine._prefix_template)."""
         c = self.cfg.prefill_chunk
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         p = len(prompt)
@@ -345,6 +348,13 @@ class SpecEngine:
                 jnp.asarray(padded[i * c:(i + 1) * c]),
                 jnp.asarray(nxt[i * c:(i + 1) * c]),
                 n_valid)
+        return state, last_logits
+
+    def prefill(self, state: EngineState, prompt: np.ndarray) -> EngineState:
+        """Chunked prefill (ref pipeline_prefill, pipeline_utils.py:183-288).
+        Chunks are padded to `prefill_chunk`; the draft context advances in
+        lockstep with pairs (token_{i+1}, base_hidden_i)."""
+        state, last_logits = self._prefill_chunks(state, prompt)
         # root sampling + pair patching + drain happen inside the single
         # jitted _finish_prefill call: each eager op here would cost one
         # ~70ms dispatch RTT through the tunneled backend.

@@ -266,6 +266,64 @@ def test_serve_stream_sjf_admits_short_pending_first():
         assert (a[2] < a[1]) == r2_first, (policy, a)
 
 
+def test_serve_shared_prefix_lossless_and_fewer_rounds():
+    """Prefix-cache serving: with shared_prefix the outputs are exactly the
+    no-prefix (and solo AR) streams — including requests admitted by the
+    in-program device refill (5 requests over 2 slots) — while the prefix's
+    chain rounds are paid once instead of once per request."""
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(41)
+    prefix = rng.integers(3, 14, 17).tolist()   # spans 2 prefill chunks
+    prompts = [prefix + rng.integers(3, 14, 3 + i).tolist()
+               for i in range(5)]
+    refs = [eng.generate_ar(p, max_new_tokens=6, eos_token_id=-1)[0]
+            for p in prompts]
+    outs0, st0 = eng.serve(prompts, max_new_tokens=6, eos_token_id=-1)
+    outs1, st1 = eng.serve(prompts, max_new_tokens=6, eos_token_id=-1,
+                           shared_prefix=prefix)
+    for i in range(5):
+        assert outs0[i] == refs[i], ("no-prefix", i)
+        assert outs1[i] == refs[i], ("prefix", i)
+    # prefix is 17 tokens = 5 chain rounds (depth_cap 4) saved per request
+    assert st1["rounds"] < st0["rounds"], (st1["rounds"], st0["rounds"])
+    assert st1["per_request"] == st0["per_request"] == [6] * 5
+
+    import pytest
+    with pytest.raises(ValueError):
+        eng.serve([prefix], max_new_tokens=4, eos_token_id=-1,
+                  shared_prefix=prefix)          # no suffix
+    with pytest.raises(ValueError):
+        eng.serve([[1] + prompts[0][1:]], max_new_tokens=4, eos_token_id=-1,
+                  shared_prefix=prefix)          # wrong prefix
+
+
+def test_serve_stream_shared_prefix_lossless():
+    """Streaming arrivals + shared prefix: host fills and mid-dispatch
+    refills both resume from the template; outputs equal solo AR runs."""
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(43)
+    prefix = rng.integers(3, 14, 9).tolist()
+    prompts = [prefix + rng.integers(3, 14, 2 + i).tolist()
+               for i in range(4)]
+    refs = [eng.generate_ar(p, max_new_tokens=5, eos_token_id=-1)[0]
+            for p in prompts]
+
+    class FakeClock:
+        t = 0.0
+
+        def __call__(self):
+            FakeClock.t += 0.05
+            return FakeClock.t
+
+    arrivals = [0.0, 0.0, 0.3, 0.5]
+    outs, stats = eng.serve_stream(prompts, arrivals, max_new_tokens=5,
+                                   eos_token_id=-1, rounds_per_dispatch=3,
+                                   clock=FakeClock(), shared_prefix=prefix)
+    for i in range(4):
+        assert outs[i] == refs[i], (i, outs[i], refs[i])
+    assert stats["per_request"] == [5] * 4
+
+
 def test_serve_stream_sjf_starvation_cap_promotes_long_request():
     """Aging under sjf: a long request pending behind a wave of later
     short arrivals is bypassed at every reorder under pure sjf (admitted
