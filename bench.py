@@ -222,13 +222,19 @@ def main():
                          num_key_value_heads=16)
     else:
         mc = ModelConfig.tiny()
+    # BENCH_PREFIX=N (serve mode): all requests share an N-token system
+    # prefix (each with a distinct 16-token suffix); BENCH_PREFIX_CACHE=0
+    # turns prefix-cache serving off for the same workload (the A/B).
+    pfx_n = int(os.environ.get("BENCH_PREFIX", "0")) if mode == "serve" else 0
+    pfx_cache = os.environ.get("BENCH_PREFIX_CACHE", "1") != "0"
     # Right-size the KV allocation to the request budget (prompt 64 +
     # BENCH_TOKENS + depth_cap margin): attention is static-shape over the
     # whole allocation, so every surplus row is pure HBM read on BOTH the
     # verify pass and the AR step (at 7B, 1152 vs 384 rows is ~0.7ms/pass).
     # This is what any serving engine does — allocate for the admitted
     # request, not the theoretical context cap. BENCH_SEQ overrides.
-    max_seq = int(os.environ.get("BENCH_SEQ", 64 + n_tokens + 24))
+    prompt_len = (pfx_n + 16) if pfx_n else 64
+    max_seq = int(os.environ.get("BENCH_SEQ", prompt_len + n_tokens + 24))
 
     if batch > 1:
         # B KV caches coexist; bound the context so they fit beside weights
@@ -333,7 +339,13 @@ def main():
         # token-level continuous batching: 2x batch_size requests through
         # `batch` slots; finished slots refill mid-flight (prompt chunks ride
         # the same rounds as the other slots' decode — no stall)
-        prompts = [rng0.integers(10, 1000, 64) for _ in range(2 * batch)]
+        if pfx_n:
+            shared = rng0.integers(10, 1000, pfx_n).tolist()
+            prompts = [shared + rng0.integers(10, 1000, 16).tolist()
+                       for _ in range(2 * batch)]
+        else:
+            shared = None
+            prompts = [rng0.integers(10, 1000, 64) for _ in range(2 * batch)]
         # with device-side refill the dispatch bound only sets admission
         # granularity; the loop's trip count is dynamic, so big K is free
         serve_k = int(os.environ.get("BENCH_SERVE_K", "256"))
@@ -349,6 +361,8 @@ def main():
                 mx = [max_new_tokens // 4] * (n - 1) + [max_new_tokens]
             else:
                 mx = max_new_tokens
+            if shared is not None and pfx_cache:
+                kw["shared_prefix"] = shared
             return eng.serve(prompts, max_new_tokens=mx,
                              rounds_per_dispatch=serve_k,
                              queue_order=serve_order, **kw)
@@ -410,6 +424,8 @@ def main():
         so = os.environ.get("BENCH_SERVE_ORDER", "fifo")
         if so != "fifo":
             stag += f"_{so}"
+        if pfx_n:
+            stag += f"_pfx{pfx_n}" + ("c" if pfx_cache else "")
     row = {
         "metric": f"output_tokens_per_s_{model_kind}{qtag}_{mode}{btag}_{stag}",
         "value": round(tps, 3),
@@ -418,6 +434,11 @@ def main():
     }
     if "slot_utilization" in stats:
         row["slot_utilization"] = round(stats["slot_utilization"], 3)
+    if "latency_rounds" in stats:
+        lr = sorted(stats["latency_rounds"])
+        # per-request admission->finish rounds; the prefix-cache rows show
+        # the chain-round savings here as well as in aggregate tok/s
+        row["latency_rounds_p50"] = int(lr[len(lr) // 2])
     if "accept_per_round" in stats:
         row["accept_per_round"] = round(stats["accept_per_round"], 3)
     if mode != "ar":

@@ -26,7 +26,8 @@ MODEL = os.environ.get("SUITE_MODEL", "7b")
 OUT = os.environ.get("SUITE_OUT", os.path.join(_ROOT,
                                                "BENCH_SUITE_r03.jsonl"))
 ALL_MODES = ("spec_trained", "spec_random", "ar", "t1_trained",
-             "serve4", "batch4", "stream", "longgen", "serve_sched")
+             "serve4", "batch4", "stream", "longgen", "serve_sched",
+             "serve_prefix")
 MODES = [m for m in os.environ.get("SUITE_MODES",
                                    ",".join(ALL_MODES)).split(",") if m]
 
@@ -209,6 +210,39 @@ def main():
                           "slot_utilization": round(
                               stats["slot_utilization"], 3),
                           "budgets": "32x7+128",
+                          "draft": "trained" if trained else "random"})
+            elif mode == "serve_prefix":
+                # prefix-cache A/B: 8 requests sharing a 192-token system
+                # prefix (16-token distinct suffixes), 64 new tokens each,
+                # 4 slots. With shared_prefix the prefix's ~13 chain rounds
+                # are paid once (template) instead of once per request.
+                # Same scan program both ways (the template consts are
+                # dynamic args) — one compile.
+                d = trained or rnd_draft
+                eng = BatchedSpecEngine(params, d,
+                                        cfg_of(mseq=384,
+                                               tuned=trained is not None),
+                                        batch_size=4)
+                shared = rng0.integers(10, 1000, 192).tolist()
+                prompts = [shared + rng0.integers(10, 1000, 16).tolist()
+                           for _ in range(8)]
+
+                def run(cache):
+                    kw = {"shared_prefix": shared} if cache else {}
+                    return eng.serve(prompts, max_new_tokens=64,
+                                     eos_token_id=-1,
+                                     rounds_per_dispatch=256, **kw)
+                run(False)                      # warmup + compile
+                for cache in (False, True):
+                    t0 = time.perf_counter()
+                    outs, stats = run(cache)
+                    dt = time.perf_counter() - t0
+                    lr = sorted(stats["latency_rounds"])
+                    emit({"mode": f"serve_prefix_{'on' if cache else 'off'}",
+                          "tok_s": round(stats["new_tokens"] / dt, 2),
+                          "rounds": stats["rounds"],
+                          "latency_rounds_p50": int(lr[len(lr) // 2]),
+                          "prefix": 192, "suffix": 16,
                           "draft": "trained" if trained else "random"})
             elif mode == "longgen":
                 d = trained or rnd_draft
