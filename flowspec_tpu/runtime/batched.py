@@ -444,6 +444,25 @@ class BatchedSpecEngine(SpecEngine):
                     f"(prompt len {len(pr)}, prefix len {len(prefix)})")
 
     @staticmethod
+    def _detect_shared_prefix(prompts):
+        """Longest common prefix of all prompts, capped one token short of
+        the shortest prompt (every request must keep >= 1 suffix token for
+        the chain to start from). None when the LCP is empty."""
+        arrs = [np.asarray(p, np.int32).reshape(-1) for p in prompts]
+        cap = min(len(a) for a in arrs) - 1
+        if cap <= 0:
+            return None
+        first = arrs[0][:cap]
+        n = cap
+        for a in arrs[1:]:
+            neq = np.nonzero(a[:n] != first[:n])[0]
+            if neq.size:
+                n = int(neq[0])
+            if n == 0:
+                return None
+        return first[:n].tolist()
+
+    @staticmethod
     def _queue_schedule(order, budgets, policy: str, start: int = 0):
         """Order queue positions >= `start` by the admission policy.
         `order` maps queue position -> request id; entries before `start`
@@ -502,7 +521,8 @@ class BatchedSpecEngine(SpecEngine):
         per-request prefill work drops from ceil(len(prompt)/depth_cap)
         to ceil(suffix/depth_cap) chain rounds — the dominant TTFT cost
         for system-prompt-heavy workloads. Outputs are identical to
-        serving without it (tested)."""
+        serving without it (tested). Pass "auto" to detect the longest
+        common prefix of the queued prompts instead of supplying one."""
         n_req = len(prompts)
         if max_new_tokens is None:
             budgets = [self.cfg.max_new_tokens] * n_req
@@ -515,6 +535,9 @@ class BatchedSpecEngine(SpecEngine):
         k = max(1, int(rounds_per_dispatch))
         for p, mx in zip(prompts, budgets):
             self._check_budget(p, mx)
+        if isinstance(shared_prefix, str):
+            assert shared_prefix == "auto", shared_prefix
+            shared_prefix = self._detect_shared_prefix(prompts)
         tstate, pfx_len = None, 0
         if shared_prefix is not None:
             self._check_shared_prefix(prompts, shared_prefix)
@@ -682,6 +705,9 @@ class BatchedSpecEngine(SpecEngine):
         k = max(1, int(rounds_per_dispatch))
         for p, mx in zip(prompts, budgets):
             self._check_budget(p, mx)
+        assert not isinstance(shared_prefix, str), \
+            "auto prefix detection needs the full workload upfront; " \
+            "pass explicit tokens to serve_stream"
         tstate, pfx_len = None, 0
         if shared_prefix is not None:
             self._check_shared_prefix(prompts, shared_prefix)

@@ -288,6 +288,15 @@ def test_serve_shared_prefix_lossless_and_fewer_rounds():
     assert st1["rounds"] < st0["rounds"], (st1["rounds"], st0["rounds"])
     assert st1["per_request"] == st0["per_request"] == [6] * 5
 
+    # "auto" detects the same prefix (the suffixes' first tokens differ for
+    # this rng draw) and stays lossless
+    det = eng._detect_shared_prefix(prompts)
+    assert det == prefix, (len(det), len(prefix))
+    outs2, st2 = eng.serve(prompts, max_new_tokens=6, eos_token_id=-1,
+                           shared_prefix="auto")
+    assert outs2 == refs
+    assert st2["rounds"] == st1["rounds"]
+
     import pytest
     with pytest.raises(ValueError):
         eng.serve([prefix], max_new_tokens=4, eos_token_id=-1,
