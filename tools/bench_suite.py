@@ -27,7 +27,7 @@ OUT = os.environ.get("SUITE_OUT", os.path.join(_ROOT,
                                                "BENCH_SUITE_r03.jsonl"))
 ALL_MODES = ("spec_trained", "spec_random", "ar", "t1_trained",
              "serve4", "batch4", "stream", "longgen", "serve_sched",
-             "serve_prefix")
+             "serve_prefix", "stream_prefix")
 MODES = [m for m in os.environ.get("SUITE_MODES",
                                    ",".join(ALL_MODES)).split(",") if m]
 
@@ -242,6 +242,47 @@ def main():
                           "tok_s": round(stats["new_tokens"] / dt, 2),
                           "rounds": stats["rounds"],
                           "latency_rounds_p50": int(lr[len(lr) // 2]),
+                          "prefix": 192, "suffix": 16,
+                          "draft": "trained" if trained else "random"})
+            elif mode == "stream_prefix":
+                # streaming-arrival prefix A/B: the TTFT story in seconds.
+                # Requests share a 192-token system prefix and arrive
+                # Poisson(4/s); with shared_prefix an admission consumes
+                # only the 16-token suffix (1-2 chain rounds) instead of
+                # the full 208-token prompt (~14 rounds), so
+                # arrival->admission and arrival->completion both drop.
+                d = trained or rnd_draft
+                eng = BatchedSpecEngine(params, d,
+                                        cfg_of(mseq=384,
+                                               tuned=trained is not None),
+                                        batch_size=4)
+                shared = rng0.integers(10, 1000, 192).tolist()
+                prompts = [shared + rng0.integers(10, 1000, 16).tolist()
+                           for _ in range(12)]
+                gaps = np.random.default_rng(3).exponential(0.25,
+                                                            len(prompts))
+                gaps[0] = 0
+                arr = np.cumsum(gaps).tolist()
+                # warmup compiles the K=8 dispatch program
+                eng.serve_stream(prompts[:2], [0, 0], max_new_tokens=8,
+                                 eos_token_id=-1, rounds_per_dispatch=8)
+                for cache in (False, True):
+                    kw = {"shared_prefix": shared} if cache else {}
+                    t0 = time.perf_counter()
+                    outs, stats = eng.serve_stream(
+                        prompts, arr, max_new_tokens=64, eos_token_id=-1,
+                        rounds_per_dispatch=8, **kw)
+                    dt = time.perf_counter() - t0
+                    emit({"mode": f"stream_prefix_{'on' if cache else 'off'}",
+                          "tok_s": round(stats["new_tokens"] / dt, 2),
+                          "admission_p50_s": round(
+                              stats["admission_p50_s"], 3),
+                          "admission_p95_s": round(
+                              stats["admission_p95_s"], 3),
+                          "completion_p50_s": round(
+                              stats["completion_p50_s"], 3),
+                          "completion_p95_s": round(
+                              stats["completion_p95_s"], 3),
                           "prefix": 192, "suffix": 16,
                           "draft": "trained" if trained else "random"})
             elif mode == "longgen":
