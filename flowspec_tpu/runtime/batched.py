@@ -80,6 +80,11 @@ class BatchedSpecEngine(SpecEngine):
         # serve dispatch programs (mixed prefill/decode lanes, ServeCtx
         # vmapped along 0), keyed by rounds-per-dispatch
         self._serve_scans = {}
+        # shared-prefix templates keyed by the prefix tokens (a template
+        # holds a full KV allocation — a few hundred MB at 7B — so keep
+        # only the most recent two)
+        self._prefix_templates = {}
+        self._lanes_jit = None
 
     def _get_serve_scan(self, k_rounds: int):
         """Up to K serve-rounds fused into one device program with
@@ -402,9 +407,21 @@ class BatchedSpecEngine(SpecEngine):
         Returns (template_state, prefix_len)."""
         prefix = np.asarray(shared_prefix, np.int32).reshape(-1)
         assert len(prefix) > 0, "shared_prefix must be non-empty"
-        st, _ = self._prefill_chunks(self.init_state(seed + 777_000),
-                                     prefix)
-        return st, len(prefix)
+        key = prefix.tobytes()
+        if key not in self._prefix_templates:
+            # the template is deterministic (no sampling in the chunk
+            # loop), so it is cached ACROSS serve calls — repeat workloads
+            # on the same system prompt skip the prefill entirely. Through
+            # the tunneled backend the build costs ~1s of dispatch RTTs,
+            # which a one-shot small workload cannot amortize (measured:
+            # BENCH_SUITE serve_prefix) but a cached reuse makes free.
+            if len(self._prefix_templates) >= 2:
+                self._prefix_templates.pop(
+                    next(iter(self._prefix_templates)))
+            st, _ = self._prefill_chunks(self.init_state(seed + 777_000),
+                                         prefix)
+            self._prefix_templates[key] = st
+        return self._prefix_templates[key], len(prefix)
 
     def _template_consts(self, tstate):
         """The (tp_commit, tp_draft_len, tp_pt, tp_ph, tp_np) scan args for
@@ -431,6 +448,32 @@ class BatchedSpecEngine(SpecEngine):
         pt = tstate.pending_tokens.at[tstate.n_pending - 1].set(tok)
         return dc.replace(tstate, pending_tokens=pt, root_token=tok,
                           key=jax.random.key(key_seed))
+
+    def _lanes_from_template(self, tstate, first_sfx, key_seeds):
+        """The full B-lane stacked EngineState from the template in ONE
+        jitted dispatch (per-lane eager patching costs ~70ms of tunnel RTT
+        per op — a dozen ops made the template path LOSE its round savings
+        on small workloads). `first_sfx` (B,) holds each lane's first
+        post-prefix token, -1 for idle lanes."""
+        if self._lanes_jit is None:
+            import dataclasses as dc
+
+            def build(t, sfx, seeds):
+                def one(s, sd):
+                    pt = jnp.where(
+                        jnp.arange(t.pending_tokens.shape[0])
+                        == t.n_pending - 1,
+                        jnp.where(s >= 0, s, t.pending_tokens[
+                            jnp.clip(t.n_pending - 1, 0, None)]),
+                        t.pending_tokens)
+                    return dc.replace(
+                        t, pending_tokens=pt,
+                        root_token=jnp.where(s >= 0, s, t.root_token),
+                        key=jax.random.key(sd))
+                return jax.vmap(one, in_axes=(0, 0))(sfx, seeds)
+            self._lanes_jit = jax.jit(build)
+        return self._lanes_jit(tstate, jnp.asarray(first_sfx, jnp.int32),
+                               jnp.asarray(key_seeds, jnp.int32))
 
     def _check_shared_prefix(self, prompts, shared_prefix):
         """Every prompt must extend the shared prefix by >= 1 token."""
@@ -573,20 +616,19 @@ class BatchedSpecEngine(SpecEngine):
         # device path only refills on completion). Seeds are keyed by queue
         # position to match the device refill's jax.random.key(seed + qpos).
         slot_q = [s if s < n_req else -1 for s in range(b)]
-        states, ctxs = [], []
+        ctxs, sfx, kseeds = [], [], []
         for s in range(b):
             qp = slot_q[s]
-            kseed = seed + (qp if qp >= 0 else 1000 + s)
+            kseeds.append(seed + (qp if qp >= 0 else 1000 + s))
             pr = (np.asarray(prompts[order[qp]], np.int32).reshape(-1)
                   if qp >= 0 else None)
-            if tstate is None:
-                states.append(self.init_state(kseed))
-            else:
-                states.append(self._lane_from_template(
-                    tstate, int(pr[pfx_len]) if pr is not None else None,
-                    kseed))
+            sfx.append(int(pr[pfx_len]) if pr is not None else -1)
             ctxs.append(self._serve_ctx(pr, prompt_pos=pfx_len))
-        batched = self._stack_states(states)
+        if tstate is None:
+            batched = self._stack_states(
+                [self.init_state(ks) for ks in kseeds])
+        else:
+            batched = self._lanes_from_template(tstate, sfx, kseeds)
         bctx = self._stack_states(ctxs)
         lane_req = jnp.asarray(slot_q, jnp.int32)
         emitted = jnp.zeros((b,), jnp.int32)
@@ -752,12 +794,13 @@ class BatchedSpecEngine(SpecEngine):
 
         t0 = _time.perf_counter()
         now = (lambda: _time.perf_counter() - t0) if clock is None else clock
-        states = [self.init_state(seed + 1000 + s) if tstate is None
-                  else self._lane_from_template(tstate, None,
-                                                seed + 1000 + s)
-                  for s in range(b)]
         ctxs = [self._serve_ctx(None) for _ in range(b)]
-        batched = self._stack_states(states)
+        if tstate is None:
+            batched = self._stack_states(
+                [self.init_state(seed + 1000 + s) for s in range(b)])
+        else:
+            batched = self._lanes_from_template(
+                tstate, [-1] * b, [seed + 1000 + s for s in range(b)])
         bctx = self._stack_states(ctxs)
         lane_req = jnp.full((b,), -1, jnp.int32)   # values index `order`
         emitted = jnp.zeros((b,), jnp.int32)
