@@ -85,6 +85,8 @@ class BatchedSpecEngine(SpecEngine):
         # only the most recent two)
         self._prefix_templates = {}
         self._lanes_jit = None
+        self._lane_jit = None
+        self._write_slot_jit = None
 
     def _get_serve_scan(self, k_rounds: int):
         """Up to K serve-rounds fused into one device program with
@@ -271,8 +273,17 @@ class BatchedSpecEngine(SpecEngine):
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
     def _write_slot(self, batched, state, b: int):
-        return jax.tree_util.tree_map(
-            lambda bx, x: bx.at[b].set(x), batched, state)
+        """Write one lane's state into slot b of the stacked pytree in ONE
+        jitted dispatch (a per-leaf eager .at[].set is ~20 dispatches —
+        ~70ms of tunnel RTT each on the axon backend). The stacked input
+        is donated: callers always rebind the result."""
+        if self._write_slot_jit is None:
+            self._write_slot_jit = jax.jit(
+                lambda bx, x, i: jax.tree_util.tree_map(
+                    lambda a, v: a.at[i].set(v), bx, x),
+                donate_argnums=(0,))
+        return self._write_slot_jit(batched, state,
+                                    jnp.asarray(b, jnp.int32))
 
     def _prefill_one(self, prompt, seed, max_seq=None):
         st = self.init_state(seed, max_seq=max_seq)
@@ -408,7 +419,10 @@ class BatchedSpecEngine(SpecEngine):
         prefix = np.asarray(shared_prefix, np.int32).reshape(-1)
         assert len(prefix) > 0, "shared_prefix must be non-empty"
         key = prefix.tobytes()
-        if key not in self._prefix_templates:
+        if key in self._prefix_templates:
+            # refresh recency: eviction pops the oldest-inserted entry
+            self._prefix_templates[key] = self._prefix_templates.pop(key)
+        else:
             # the template is deterministic (no sampling in the chunk
             # loop), so it is cached ACROSS serve calls — repeat workloads
             # on the same system prompt skip the prefill entirely. Through
@@ -439,15 +453,18 @@ class BatchedSpecEngine(SpecEngine):
 
     def _lane_from_template(self, tstate, first_sfx, key_seed: int):
         """A lane EngineState resuming from the prefix template for a
-        request whose first post-prefix token is `first_sfx` (None for an
-        idle lane — it still carries the prefix KV for future refills)."""
-        import dataclasses as dc
-        if first_sfx is None:
-            return dc.replace(tstate, key=jax.random.key(key_seed))
-        tok = jnp.asarray(int(first_sfx), jnp.int32)
-        pt = tstate.pending_tokens.at[tstate.n_pending - 1].set(tok)
-        return dc.replace(tstate, pending_tokens=pt, root_token=tok,
-                          key=jax.random.key(key_seed))
+        request whose first post-prefix token is `first_sfx` — one jitted
+        dispatch (this sits on the streaming admission path)."""
+        if self._lane_jit is None:
+            import dataclasses as dc
+
+            def one(t, s, sd):
+                pt = t.pending_tokens.at[t.n_pending - 1].set(s)
+                return dc.replace(t, pending_tokens=pt, root_token=s,
+                                  key=jax.random.key(sd))
+            self._lane_jit = jax.jit(one)
+        return self._lane_jit(tstate, jnp.asarray(int(first_sfx), jnp.int32),
+                              jnp.asarray(key_seed, jnp.int32))
 
     def _lanes_from_template(self, tstate, first_sfx, key_seeds):
         """The full B-lane stacked EngineState from the template in ONE
@@ -491,6 +508,8 @@ class BatchedSpecEngine(SpecEngine):
         """Longest common prefix of all prompts, capped one token short of
         the shortest prompt (every request must keep >= 1 suffix token for
         the chain to start from). None when the LCP is empty."""
+        if not prompts:
+            return None
         arrs = [np.asarray(p, np.int32).reshape(-1) for p in prompts]
         cap = min(len(a) for a in arrs) - 1
         if cap <= 0:
@@ -563,9 +582,12 @@ class BatchedSpecEngine(SpecEngine):
         resident, consuming only its suffix through the prompt chain. The
         per-request prefill work drops from ceil(len(prompt)/depth_cap)
         to ceil(suffix/depth_cap) chain rounds — the dominant TTFT cost
-        for system-prompt-heavy workloads. Outputs are identical to
-        serving without it (tested). Pass "auto" to detect the longest
-        common prefix of the queued prompts instead of supplying one."""
+        for system-prompt-heavy workloads. Greedy outputs are identical
+        to serving without it (tested); stochastic streams stay
+        distributionally correct but are not bit-identical (fewer chain
+        rounds means a different per-lane RNG split schedule). Pass
+        "auto" to detect the longest common prefix of the queued prompts
+        instead of supplying one."""
         n_req = len(prompts)
         if max_new_tokens is None:
             budgets = [self.cfg.max_new_tokens] * n_req
@@ -579,7 +601,9 @@ class BatchedSpecEngine(SpecEngine):
         for p, mx in zip(prompts, budgets):
             self._check_budget(p, mx)
         if isinstance(shared_prefix, str):
-            assert shared_prefix == "auto", shared_prefix
+            if shared_prefix != "auto":
+                raise ValueError(f"shared_prefix={shared_prefix!r}: pass "
+                                 "token ids or the string \"auto\"")
             shared_prefix = self._detect_shared_prefix(prompts)
         tstate, pfx_len = None, 0
         if shared_prefix is not None:
@@ -747,9 +771,10 @@ class BatchedSpecEngine(SpecEngine):
         k = max(1, int(rounds_per_dispatch))
         for p, mx in zip(prompts, budgets):
             self._check_budget(p, mx)
-        assert not isinstance(shared_prefix, str), \
-            "auto prefix detection needs the full workload upfront; " \
-            "pass explicit tokens to serve_stream"
+        if isinstance(shared_prefix, str):
+            raise ValueError(
+                "auto prefix detection needs the full workload upfront; "
+                "pass explicit tokens to serve_stream")
         tstate, pfx_len = None, 0
         if shared_prefix is not None:
             self._check_shared_prefix(prompts, shared_prefix)
