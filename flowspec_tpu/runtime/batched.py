@@ -87,6 +87,7 @@ class BatchedSpecEngine(SpecEngine):
         self._lanes_jit = None
         self._lane_jit = None
         self._write_slot_jit = None
+        self._read_slot_jit = None
 
     def _get_serve_scan(self, k_rounds: int):
         """Up to K serve-rounds fused into one device program with
@@ -271,6 +272,15 @@ class BatchedSpecEngine(SpecEngine):
     # ------------------------------------------------------------------
     def _stack_states(self, states):
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    def _read_slot(self, batched, s: int):
+        """Lift one lane's state out of the stacked pytree (one jitted
+        gather — a copy, so the lane can be reused while the caller holds
+        the snapshot). Used by preemption to pause a request."""
+        if self._read_slot_jit is None:
+            self._read_slot_jit = jax.jit(
+                lambda bx, i: jax.tree_util.tree_map(lambda a: a[i], bx))
+        return self._read_slot_jit(batched, jnp.asarray(s, jnp.int32))
 
     def _write_slot(self, batched, state, b: int):
         """Write one lane's state into slot b of the stacked pytree in ONE
@@ -721,7 +731,8 @@ class BatchedSpecEngine(SpecEngine):
                      seed: int = 0, rounds_per_dispatch: int = 8,
                      clock=None, queue_order: str = "fifo",
                      starvation_cap: int | None = None,
-                     shared_prefix=None):
+                     shared_prefix=None,
+                     preempt_factor: float | None = None):
         """Streaming-arrival continuous batching: request r only becomes
         admittable `arrivals_s[r]` seconds after serving starts. Between
         device dispatches the host appends newly-arrived requests to the
@@ -757,7 +768,19 @@ class BatchedSpecEngine(SpecEngine):
 
         `shared_prefix` works as in serve(): the common prefix is
         prefilled once, every lane (and every in-program refill) resumes
-        from it, and arrivals consume only their suffix."""
+        from it, and arrivals consume only their suffix.
+
+        `preempt_factor` enables PREEMPTIVE lane migration: at a host
+        boundary where every lane is busy and a request is pending, the
+        lane with the most remaining budget is PAUSED — its exact engine
+        state (KV, queued pairs, RNG key) is lifted off the lane — when
+        `pending_budget * preempt_factor <= remaining`, and the pending
+        request takes the lane. The paused request resumes, state intact
+        and with priority over new admissions, at the first host boundary
+        with an idle lane; zero tokens are recomputed, so its stream is
+        exactly what it would have produced uninterrupted. At most one
+        request is paused at a time (a snapshot holds a full lane KV
+        allocation). None (default) disables preemption."""
         import time as _time
         n_req = len(prompts)
         assert len(arrivals_s) == n_req, (len(arrivals_s), n_req)
@@ -834,13 +857,15 @@ class BatchedSpecEngine(SpecEngine):
 
         rounds = 0
         busy_slot_rounds = 0
+        paused = {}     # qpos -> (EngineState, ServeCtx, emitted) snapshots
+        preemptions = 0
         while not all(finished):
             t = now()
             n_arrived = sum(1 for r in order if arrivals_s[r] <= t)
-            # all lanes idle and nothing arrived yet: wait for the next
-            # arrival instead of spinning empty dispatches
-            if n_arrived <= int(qhead) and not np.any(np.asarray(lane_req)
-                                                      >= 0):
+            # all lanes idle, nothing paused, nothing arrived yet: wait for
+            # the next arrival instead of spinning empty dispatches
+            if (not paused and n_arrived <= int(qhead)
+                    and not np.any(np.asarray(lane_req) >= 0)):
                 nxt = min((arrivals_s[r] for r in order
                            if arrivals_s[r] > t), default=None)
                 if nxt is None:
@@ -875,12 +900,44 @@ class BatchedSpecEngine(SpecEngine):
                 if new_tail != order[qh0:]:
                     order[qh0:] = new_tail
                     q_prompts, q_lens, q_budgets = _write_queue_rows(qh0)
-            # host fill: idle lanes take arrived queue entries directly
-            # (the device path needs >= 1 active lane to run rounds)
             lane_np = np.array(lane_req)       # writable copy
             qh = int(qhead)
+            # preemption: every lane busy, work pending, nothing paused yet
+            # -> pause the lane with the most remaining budget if the head
+            # pending request is preempt_factor-times shorter
+            fresh_pause = None
+            if (preempt_factor is not None and not paused
+                    and qh < n_arrived and np.all(lane_np >= 0)):
+                em_np = np.asarray(emitted)
+                bud_np = np.asarray(lane_budget)
+                remaining = bud_np - em_np
+                v = int(np.argmax(remaining))
+                p_next = order[qh]
+                if budgets[p_next] * preempt_factor <= remaining[v]:
+                    fresh_pause = int(lane_np[v])
+                    paused[fresh_pause] = (
+                        self._read_slot(batched, v),
+                        self._read_slot(bctx, v), int(em_np[v]))
+                    lane_np[v] = -1
+                    preemptions += 1
+            # host fill: idle lanes resume paused requests first (their
+            # state is restored exactly — zero recompute), then take
+            # arrived queue entries (the device path needs >= 1 active
+            # lane to run rounds)
             for s in range(b):
-                if lane_np[s] < 0 and qh < n_arrived:
+                if lane_np[s] >= 0:
+                    continue
+                resumable = sorted(q_ for q_ in paused if q_ != fresh_pause)
+                if resumable:
+                    qpos = resumable[0]
+                    st, ctx, em = paused.pop(qpos)
+                    batched = self._write_slot(batched, st, s)
+                    bctx = self._write_slot(bctx, ctx, s)
+                    lane_np[s] = qpos
+                    emitted = emitted.at[s].set(em)
+                    lane_budget = lane_budget.at[s].set(
+                        budgets[order[qpos]])
+                elif qh < n_arrived:
                     r = order[qh]
                     if tstate is None:
                         st = self.init_state(seed + r)
@@ -954,6 +1011,7 @@ class BatchedSpecEngine(SpecEngine):
             "admit_rounds": admit_round,
             "admission_s": lat_admit,
             "completion_s": lat_total,
+            "preemptions": preemptions,
             "admission_p50_s": q(lat_admit, 50),
             "admission_p95_s": q(lat_admit, 95),
             "completion_p50_s": q(lat_total, 50),

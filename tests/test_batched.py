@@ -377,6 +377,41 @@ def test_serve_stream_sjf_starvation_cap_promotes_long_request():
     assert a[1] < a[3] and a[1] < a[4], a
 
 
+def test_serve_stream_preemption_pauses_long_request_losslessly():
+    """Preemptive lane migration: a short arrival pauses the long request
+    occupying the only lane (its exact state lifts off the lane), runs to
+    completion, then the long request resumes with zero recompute — BOTH
+    streams still equal their solo AR runs, and the short one finishes
+    first (it finishes last without preemption)."""
+    eng = _setup(batch_size=1)
+    rng = np.random.default_rng(47)
+    prompts = [rng.integers(3, 14, 6).tolist() for _ in range(2)]
+    budgets = [20, 2]
+    arrivals = [0.0, 0.3]
+    refs = [eng.generate_ar(p, max_new_tokens=m, eos_token_id=-1)[0]
+            for p, m in zip(prompts, budgets)]
+
+    def make_clock():
+        state = {"t": 0.0}
+
+        def clock():
+            state["t"] += 0.05
+            return state["t"]
+        return clock
+
+    fin = {}
+    for pf in (None, 2.0):
+        outs, stats = eng.serve_stream(
+            prompts, arrivals, max_new_tokens=budgets, eos_token_id=-1,
+            rounds_per_dispatch=1, clock=make_clock(), preempt_factor=pf)
+        for i, (o, r) in enumerate(zip(outs, refs)):
+            assert o == r, (pf, i, o, r)
+        assert stats["preemptions"] == (0 if pf is None else 1), (pf, stats)
+        fin[pf] = stats["completion_s"]
+    assert fin[None][1] > fin[None][0], fin       # fifo: short waits
+    assert fin[2.0][1] < fin[2.0][0], fin         # preempted: short first
+
+
 def test_serve_stream_arrivals():
     """Streaming-arrival serving (r2 verdict #9): requests become
     admittable over time; outputs still equal the solo AR runs, arrivals
