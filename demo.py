@@ -32,6 +32,12 @@ def main():
                     help="serve engine: concurrent decode slots")
     ap.add_argument("--requests", type=int, default=8,
                     help="serve engine: queued copies of the prompt")
+    ap.add_argument("--queue-order", default="fifo",
+                    choices=["fifo", "sjf", "lpt"],
+                    help="serve engine: admission policy")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="serve engine: shared_prefix='auto' — the common"
+                         " prompt prefix is prefilled once and cached")
     ap.add_argument("--schedule", default="continuous")
     ap.add_argument("--template", default="vicuna")
     ap.add_argument("--prompt", default="Tell me a short story about a robot.")
@@ -115,11 +121,14 @@ def main():
           f"prompt_len={len(prompt_ids)}")
     if args.engine == "serve":
         prompts = [prompt_ids] * args.requests
+        kw = {"queue_order": args.queue_order}
+        if args.prefix_cache:
+            kw["shared_prefix"] = "auto"
         eng.serve(prompts, max_new_tokens=args.max_new_tokens,
-                  eos_token_id=eos)
+                  eos_token_id=eos, **kw)
         t0 = time.perf_counter()
         outs, stats = eng.serve(prompts, max_new_tokens=args.max_new_tokens,
-                                eos_token_id=eos)
+                                eos_token_id=eos, **kw)
         dt = time.perf_counter() - t0
         out = outs[0]
     else:
