@@ -27,7 +27,7 @@ OUT = os.environ.get("SUITE_OUT", os.path.join(_ROOT,
                                                "BENCH_SUITE_r03.jsonl"))
 ALL_MODES = ("spec_trained", "spec_random", "ar", "t1_trained",
              "serve4", "batch4", "stream", "longgen", "serve_sched",
-             "serve_prefix", "stream_prefix")
+             "serve_prefix", "stream_prefix", "stream_preempt")
 MODES = [m for m in os.environ.get("SUITE_MODES",
                                    ",".join(ALL_MODES)).split(",") if m]
 
@@ -292,6 +292,39 @@ def main():
                           "completion_p95_s": round(
                               stats["completion_p95_s"], 3),
                           "prefix": 192, "suffix": 16,
+                          "draft": "trained" if trained else "random"})
+            elif mode == "stream_preempt":
+                # preemption A/B: 4 long requests occupy all 4 slots, then
+                # 4 short ones arrive. Without preemption each short waits
+                # for a long to drain; with it, one long pauses (state
+                # lifted off the lane), the shorts flow through, the long
+                # resumes exactly. Report per-class completion p50s.
+                d = trained or rnd_draft
+                eng = BatchedSpecEngine(params, d,
+                                        cfg_of(mseq=384,
+                                               tuned=trained is not None),
+                                        batch_size=4)
+                prompts = [rng0.integers(10, 1000, 64) for _ in range(8)]
+                budgets = [192] * 4 + [16] * 4
+                arr = [0.0] * 4 + [2.0] * 4
+                eng.serve_stream(prompts[:2], [0, 0], max_new_tokens=8,
+                                 eos_token_id=-1, rounds_per_dispatch=4)
+                for pf in (None, 4.0):
+                    t0 = time.perf_counter()
+                    outs, stats = eng.serve_stream(
+                        prompts, arr, max_new_tokens=budgets,
+                        eos_token_id=-1, rounds_per_dispatch=4,
+                        preempt_factor=pf)
+                    dt = time.perf_counter() - t0
+                    cs = stats["completion_s"]
+                    p50 = lambda xs: float(np.percentile(xs, 50))
+                    emit({"mode": ("stream_preempt_on" if pf
+                                   else "stream_preempt_off"),
+                          "tok_s": round(stats["new_tokens"] / dt, 2),
+                          "preemptions": stats["preemptions"],
+                          "short_completion_p50_s": round(p50(cs[4:]), 3),
+                          "long_completion_p50_s": round(p50(cs[:4]), 3),
+                          "budgets": "192x4+16x4@2s",
                           "draft": "trained" if trained else "random"})
             elif mode == "longgen":
                 d = trained or rnd_draft
