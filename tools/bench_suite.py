@@ -304,9 +304,12 @@ def main():
                                         cfg_of(mseq=384,
                                                tuned=trained is not None),
                                         batch_size=4)
+                # shorts land at 0.3s, early in the longs' ~1.2s residency
+                # (with the trained draft a 256-token long takes ~32 rounds;
+                # arrivals later than that never see a full batch)
                 prompts = [rng0.integers(10, 1000, 64) for _ in range(8)]
-                budgets = [192] * 4 + [16] * 4
-                arr = [0.0] * 4 + [2.0] * 4
+                budgets = [256] * 4 + [16] * 4
+                arr = [0.0] * 4 + [0.3] * 4
                 eng.serve_stream(prompts[:2], [0, 0], max_new_tokens=8,
                                  eos_token_id=-1, rounds_per_dispatch=4)
                 for pf in (None, 4.0):
@@ -324,7 +327,7 @@ def main():
                           "preemptions": stats["preemptions"],
                           "short_completion_p50_s": round(p50(cs[4:]), 3),
                           "long_completion_p50_s": round(p50(cs[:4]), 3),
-                          "budgets": "192x4+16x4@2s",
+                          "budgets": "256x4+16x4@0.3s",
                           "draft": "trained" if trained else "random"})
             elif mode == "longgen":
                 d = trained or rnd_draft
