@@ -377,6 +377,23 @@ def test_serve_stream_sjf_starvation_cap_promotes_long_request():
     assert a[1] < a[3] and a[1] < a[4], a
 
 
+def test_warmup_compiles_serve_paths():
+    """warmup() pre-pays the dispatch programs, the prefix template, and
+    the snapshot gather/scatter; serving afterwards is still lossless."""
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(53)
+    prefix = rng.integers(3, 14, 9).tolist()
+    eng.warmup(shared_prefix=prefix, ks=(8,))
+    assert 8 in eng._serve_scans
+    assert np.asarray(prefix, np.int32).tobytes() in eng._prefix_templates
+    prompts = [prefix + rng.integers(3, 14, 3).tolist() for _ in range(3)]
+    refs = [eng.generate_ar(p, max_new_tokens=5, eos_token_id=-1)[0]
+            for p in prompts]
+    outs, _ = eng.serve(prompts, max_new_tokens=5, eos_token_id=-1,
+                        rounds_per_dispatch=8, shared_prefix=prefix)
+    assert outs == refs
+
+
 def test_serve_stream_preemption_pauses_long_request_losslessly():
     """Preemptive lane migration: a short arrival pauses the long request
     occupying the only lane (its exact state lifts off the lane), runs to
