@@ -151,6 +151,47 @@ def run_eval(
     return res
 
 
+def run_eval_serve(engine, tokenize: Callable[[str], Sequence[int]],
+                   questions: List[dict], name: str = "serve",
+                   template: str = "vicuna", max_new_tokens: int = 64,
+                   eos_token_id: int = -1, queue_order: str = "fifo",
+                   prefix_cache: bool = False,
+                   results_path: Optional[str] = None) -> dict:
+    """Dataset-level CONTINUOUS BATCHING eval: every question's first turn
+    is queued through `BatchedSpecEngine.serve` at once — aggregate
+    dataset throughput instead of the reference's one-question-at-a-time
+    batch-1 loop (eval/run_pipe_eval.py:200-320, the only mode its runtime
+    supports). With `prefix_cache=True` the chat template's shared
+    preamble is auto-detected (`shared_prefix="auto"`) and prefilled once
+    for the whole dataset — the realistic production configuration, since
+    every templated prompt in a dataset shares the system preamble."""
+    prompts = [[int(t) for t in tokenize(build_prompt(
+        [(q["turns"][0], None)], template=template))] for q in questions]
+    kw = {"queue_order": queue_order}
+    if prefix_cache:
+        kw["shared_prefix"] = "auto"
+    t0 = time.perf_counter()
+    outs, stats = engine.serve(prompts, max_new_tokens=max_new_tokens,
+                               eos_token_id=eos_token_id, **kw)
+    dt = time.perf_counter() - t0
+    lr = sorted(stats["latency_rounds"])
+    row = {
+        "name": name, "questions": len(questions),
+        "new_tokens": stats["new_tokens"],
+        "throughput_tok_s": round(stats["new_tokens"] / dt, 3),
+        "rounds": stats["rounds"],
+        "slot_utilization": round(stats["slot_utilization"], 3),
+        "latency_rounds_p50": int(lr[len(lr) // 2]),
+        "latency_rounds_p95": int(lr[min(len(lr) - 1,
+                                         int(0.95 * (len(lr) - 1)))]),
+        "queue_order": queue_order, "prefix_cache": bool(prefix_cache),
+    }
+    if results_path:
+        with open(results_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+    return row
+
+
 def length_sweep(forward_at_len: Callable[[int], float],
                  lengths: Sequence[int] = (4, 8, 16, 24, 32, 48, 64),
                  threshold: float = 0.95) -> int:

@@ -60,6 +60,10 @@ def build_engine(args, mc, tc, params, draft, temperature: float):
     if args.engine == "tp":
         from flowspec_tpu.parallel.tp import TPEngine
         return TPEngine(params, draft, cfg)
+    if args.engine == "serve":
+        from flowspec_tpu.runtime.batched import BatchedSpecEngine
+        return BatchedSpecEngine(params, draft, cfg,
+                                 batch_size=args.serve_slots)
     from flowspec_tpu.runtime import SpecEngine
     return SpecEngine(params, draft, cfg)
 
@@ -71,7 +75,16 @@ def main(argv=None):
     ap.add_argument("--random", choices=["tiny", "1b", "7b"], default=None,
                     help="random weights of this size instead of --model")
     ap.add_argument("--engine", default="single",
-                    choices=["single", "pipeline", "tp"])
+                    choices=["single", "pipeline", "tp", "serve"])
+    ap.add_argument("--serve-slots", type=int, default=4,
+                    help="serve engine: concurrent decode slots")
+    ap.add_argument("--queue-order", default="fifo",
+                    choices=["fifo", "sjf", "lpt"],
+                    help="serve engine: admission policy")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="serve engine: auto-detect the chat template's "
+                         "shared preamble and prefill it once "
+                         "(shared_prefix='auto')")
     ap.add_argument("--schedule", default="continuous")
     ap.add_argument("--stages", type=int, default=4)
     ap.add_argument("--data", nargs="+", required=True,
@@ -204,12 +217,21 @@ def main(argv=None):
             name = os.path.basename(os.path.dirname(path)) or path
             qs = load_questions(path, limit=args.limit)
             t0 = time.perf_counter()
-            res = run_eval(gen, tok, detok, qs, name=name,
-                           template=args.template,
-                           max_turns=args.max_conv_turns,
-                           engine=eng if args.resume else None,
-                           resume=args.resume,
-                           max_new_tokens=args.max_new_tokens)
+            if args.engine == "serve":
+                from flowspec_tpu.eval.harness import run_eval_serve
+                summary = run_eval_serve(
+                    eng, tok, qs, name=name, template=args.template,
+                    max_new_tokens=args.max_new_tokens,
+                    queue_order=args.queue_order,
+                    prefix_cache=args.prefix_cache)
+            else:
+                res = run_eval(gen, tok, detok, qs, name=name,
+                               template=args.template,
+                               max_turns=args.max_conv_turns,
+                               engine=eng if args.resume else None,
+                               resume=args.resume,
+                               max_new_tokens=args.max_new_tokens)
+                summary = res.summary()
             row = dict(temperature=temperature, depth=depth,
                        expand_depth=expand_depth, score_temp=stemp,
                        chunk_len=chunk_len, engine=args.engine,
@@ -217,7 +239,7 @@ def main(argv=None):
                        draft=("trained" if args.trained_draft else "random"),
                        quant=args.quant,
                        wall_s=round(time.perf_counter() - t0, 3),
-                       **res.summary())
+                       **summary)
             rows.append(row)
             print(json.dumps(row))
             with open(args.out, "a") as f:

@@ -108,6 +108,27 @@ def test_sweep_cli(tmp_path):
     assert disk == rows
 
 
+def test_sweep_cli_serve_engine_prefix_cache(tmp_path):
+    """--engine serve runs the whole dataset through continuous batching
+    (run_eval_serve); --prefix-cache auto-detects the chat template's
+    shared preamble and spends fewer device rounds for the same tokens."""
+    from flowspec_tpu.eval.sweep import main
+
+    base = ["--cpu", "--random", "tiny", "--engine", "serve",
+            "--serve-slots", "2",
+            "--data", "data/mt_bench/question.jsonl",
+            "--limit", "4", "--depths", "3", "--expand-depths", "2",
+            "--chunk-lens", "8", "--max-new-tokens", "8",
+            "--max-seq-len", "512"]
+    r0 = main(base + ["--out", str(tmp_path / "a.jsonl")])[0]
+    r1 = main(base + ["--prefix-cache", "--queue-order", "sjf",
+                      "--out", str(tmp_path / "b.jsonl")])[0]
+    assert r0["new_tokens"] == r1["new_tokens"] == 32
+    assert r1["rounds"] < r0["rounds"], (r1["rounds"], r0["rounds"])
+    assert r1["prefix_cache"] and r1["queue_order"] == "sjf"
+    assert 0 < r1["slot_utilization"] <= 1
+
+
 def test_sweep_cli_temperature_grid_resume(tmp_path):
     """--temperatures sweeps T as the outer axis (ref run_pipe_eval.py:191)
     and --resume + --no-fused route through the host loop with KV reuse."""
