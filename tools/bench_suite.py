@@ -27,7 +27,8 @@ OUT = os.environ.get("SUITE_OUT", os.path.join(_ROOT,
                                                "BENCH_SUITE_r03.jsonl"))
 ALL_MODES = ("spec_trained", "spec_random", "ar", "t1_trained",
              "serve4", "batch4", "stream", "longgen", "serve_sched",
-             "serve_prefix", "stream_prefix", "stream_preempt")
+             "serve_prefix", "stream_prefix", "stream_preempt",
+             "serve_tree_ab")
 MODES = [m for m in os.environ.get("SUITE_MODES",
                                    ",".join(ALL_MODES)).split(",") if m]
 
@@ -210,6 +211,30 @@ def main():
                           "slot_utilization": round(
                               stats["slot_utilization"], 3),
                           "budgets": "32x7+128",
+                          "draft": "trained" if trained else "random"})
+            elif mode == "serve_tree_ab":
+                # batch-adaptive tree A/B with the TRAINED draft: the
+                # 96->32-node shrink table came from the random-draft
+                # profile (verify goes MXU-bound at T=B*nodes); a trained
+                # draft earns more acceptance from the bigger tree, so the
+                # optimum may differ — measure both.
+                d = trained or rnd_draft
+                prompts = [rng0.integers(10, 1000, 64) for _ in range(8)]
+                for adapt in (True, False):
+                    eng = BatchedSpecEngine(
+                        params, d,
+                        cfg_of(mseq=384, tuned=trained is not None),
+                        batch_size=4, adapt_tree=adapt)
+                    gen = lambda p_, **kw: eng.serve(
+                        prompts, rounds_per_dispatch=256, **kw)
+                    tps, stats = timed(gen, prompt, 128)
+                    emit({"mode": ("serve4_adaptive" if adapt
+                                   else "serve4_fulltree"),
+                          "tok_s": round(tps, 2),
+                          "tree_nodes": eng.cfg.tree.node_cap,
+                          "rounds": stats["rounds"],
+                          "slot_utilization": round(
+                              stats["slot_utilization"], 3),
                           "draft": "trained" if trained else "random"})
             elif mode == "serve_prefix":
                 # prefix-cache A/B: 8 requests sharing a 192-token system
