@@ -2,5 +2,6 @@
 building blocks shared with the pipelined runtime."""
 
 from flowspec_tpu.runtime.engine import SpecEngine
+from flowspec_tpu.runtime.batched import BatchedSpecEngine
 
-__all__ = ["SpecEngine"]
+__all__ = ["SpecEngine", "BatchedSpecEngine"]
