@@ -429,6 +429,36 @@ def test_serve_stream_preemption_pauses_long_request_losslessly():
     assert fin[2.0][1] < fin[2.0][0], fin         # preempted: short first
 
 
+def test_serve_stream_preemption_with_shared_prefix():
+    """Preemption composed with prefix-cache serving: the paused lane's
+    snapshot carries the prefix KV, the preempting short request resumes
+    from the template, and after the resume both streams still equal
+    their solo AR runs."""
+    eng = _setup(batch_size=1)
+    rng = np.random.default_rng(59)
+    prefix = rng.integers(3, 14, 9).tolist()
+    prompts = [prefix + rng.integers(3, 14, 3).tolist() for _ in range(2)]
+    budgets = [18, 2]
+    arrivals = [0.0, 0.3]
+    refs = [eng.generate_ar(p, max_new_tokens=m, eos_token_id=-1)[0]
+            for p, m in zip(prompts, budgets)]
+
+    state = {"t": 0.0}
+
+    def clock():
+        state["t"] += 0.05
+        return state["t"]
+
+    outs, stats = eng.serve_stream(
+        prompts, arrivals, max_new_tokens=budgets, eos_token_id=-1,
+        rounds_per_dispatch=1, clock=clock, shared_prefix=prefix,
+        preempt_factor=2.0)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert o == r, (i, o, r)
+    assert stats["preemptions"] == 1, stats
+    assert stats["completion_s"][1] < stats["completion_s"][0], stats
+
+
 def test_serve_stream_arrivals():
     """Streaming-arrival serving (r2 verdict #9): requests become
     admittable over time; outputs still equal the solo AR runs, arrivals
