@@ -29,6 +29,7 @@ ALL_MODES = ("spec_trained", "spec_random", "ar", "t1_trained",
              "serve4", "batch4", "stream", "longgen", "serve_sched",
              "serve_prefix", "stream_prefix", "stream_preempt",
              "serve_tree_ab")
+SB = int(os.environ.get("SUITE_BATCH", "4"))
 MODES = [m for m in os.environ.get("SUITE_MODES",
                                    ",".join(ALL_MODES)).split(",") if m]
 
@@ -106,6 +107,7 @@ def main():
     for mode in MODES:
         print(f"=== {mode} ===", flush=True)
         t_mode = time.time()
+        sb = SB     # slots for every batched mode (13B fits 2, not 4)
         try:
             if mode in ("spec_trained", "spec_random", "t1_trained"):
                 d = rnd_draft if mode == "spec_random" else trained
@@ -191,7 +193,7 @@ def main():
                 eng = BatchedSpecEngine(params, d,
                                         cfg_of(mseq=384,
                                                tuned=trained is not None),
-                                        batch_size=4)
+                                        batch_size=sb)
                 prompts = [rng0.integers(10, 1000, 64) for _ in range(8)]
                 budgets = [32] * 7 + [128]
 
@@ -224,7 +226,7 @@ def main():
                     eng = BatchedSpecEngine(
                         params, d,
                         cfg_of(mseq=384, tuned=trained is not None),
-                        batch_size=4, adapt_tree=adapt)
+                        batch_size=sb, adapt_tree=adapt)
                     gen = lambda p_, **kw: eng.serve(
                         prompts, rounds_per_dispatch=256, **kw)
                     tps, stats = timed(gen, prompt, 128)
@@ -247,7 +249,7 @@ def main():
                 eng = BatchedSpecEngine(params, d,
                                         cfg_of(mseq=384,
                                                tuned=trained is not None),
-                                        batch_size=4)
+                                        batch_size=sb)
                 shared = rng0.integers(10, 1000, 192).tolist()
                 prompts = [shared + rng0.integers(10, 1000, 16).tolist()
                            for _ in range(8)]
@@ -284,7 +286,7 @@ def main():
                 eng = BatchedSpecEngine(params, d,
                                         cfg_of(mseq=384,
                                                tuned=trained is not None),
-                                        batch_size=4)
+                                        batch_size=sb)
                 shared = rng0.integers(10, 1000, 192).tolist()
                 prompts = [shared + rng0.integers(10, 1000, 16).tolist()
                            for _ in range(12)]
@@ -328,7 +330,7 @@ def main():
                 eng = BatchedSpecEngine(params, d,
                                         cfg_of(mseq=384,
                                                tuned=trained is not None),
-                                        batch_size=4)
+                                        batch_size=sb)
                 # shorts land at 0.3s, early in the longs' ~1.2s residency
                 # (with the trained draft a 256-token long takes ~32 rounds;
                 # arrivals later than that never see a full batch)
