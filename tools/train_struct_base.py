@@ -146,6 +146,23 @@ def load_base(path, mc):
     return jax.tree_util.tree_unflatten(treedef, new)
 
 
+def save_draft(draft, path):
+    np.savez_compressed(path, **{
+        f: np.asarray(getattr(draft, f)).astype(np.float16)
+        for f in DRAFT_FIELDS if getattr(draft, f) is not None})
+
+
+def load_draft(path, embed, dtype):
+    """EagleParams from save_draft leaves (fields absent in the file —
+    e.g. w_out for a full-width draft — stay None)."""
+    import jax.numpy as jnp
+    from flowspec_tpu.draft.eagle import EagleParams
+    z = np.load(path)
+    return EagleParams(embed=embed, **{
+        f: (jnp.asarray(z[f]).astype(dtype) if f in z.files else None)
+        for f in DRAFT_FIELDS})
+
+
 def train_base(mc, corpus_train, s, steps, log=print):
     """Next-token CE on the corpus; f32 master weights, bf16 compute.
     Returns bf16 LlamaParams."""
@@ -427,13 +444,33 @@ def run(scale: str, log=print):
 
     prompt_len, gen_tokens = s["prompt_len"], s["gen_tokens"]
     max_seq = prompt_len + gen_tokens + 24
-    tc = TreeConfig(top_k=8, depth=6, total_tokens=48, expand_tokens=24,
-                    expand_depth=2, node_cap=64, leaf_cap=64, depth_cap=10)
+    # tree shape env-tunable so the anchor can also be measured at the
+    # swept optimum (SWEEP_r03: depth 8 / tau 0.2) — tree shape dominates
+    # acceptance as much as draft quality does
+    t_depth = int(os.environ.get("STRUCT_DEPTH", "6"))
+    t_total = int(os.environ.get("STRUCT_TOTAL", "48"))
+    t_stemp = float(os.environ.get("STRUCT_STEMP", "1"))
+    tc = TreeConfig(top_k=8, depth=t_depth, total_tokens=t_total,
+                    expand_tokens=24, expand_depth=2,
+                    node_cap=max(64, t_total + 16),
+                    leaf_cap=max(64, t_total + 16),
+                    depth_cap=max(10, t_depth + 2),
+                    score_temperature=t_stemp)
     cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
                        max_new_tokens=gen_tokens, max_seq_len=max_seq,
                        prefill_chunk=32)
 
-    draft, dstats = distill_draft(params, mc, s, log=log)
+    draft_load = os.environ.get("STRUCT_DRAFT_LOAD")
+    if draft_load:
+        draft = load_draft(draft_load, params.embed, jnp.bfloat16)
+        dstats = {"draft": f"loaded from {draft_load}"}
+        log(f"loaded draft from {draft_load}")
+    else:
+        draft, dstats = distill_draft(params, mc, s, log=log)
+        dsave = os.environ.get("STRUCT_DRAFT_SAVE")
+        if dsave:
+            save_draft(draft, dsave)
+            log(f"draft saved: {dsave}")
 
     # ---- engine eval: greedy + T=1, spec vs AR ------------------------
     # f32 engines: the trained base is high-entropy on noise positions,
@@ -458,6 +495,7 @@ def run(scale: str, log=print):
         int(np.prod(np.shape(l))) for l in jax.tree_util.tree_leaves(params)
     ) / 1e6, 1), "base_holdout_top1": round(acc_h, 4),
         "bayes_oracle_top1": round(bayes, 4), "base_holdout_ce": round(ce_h, 4),
+        "tree": f"d{t_depth}/tau{t_stemp:g}/n{t_total}",
         **dstats}
 
     accs, accs_t1, losses, match = [], [], 0, []
