@@ -750,6 +750,9 @@ class BatchedSpecEngine(SpecEngine):
                       "latency_rounds": [finish_round[r] - admit_round[r]
                                          for r in range(n_req)],
                       "admit_rounds": admit_round,
+                      # per busy lane-round (prompt-chain rounds included,
+                      # so this is a floor on decode acceptance)
+                      "accept_per_round": total / max(busy_slot_rounds, 1),
                       "slot_utilization": busy_slot_rounds
                       / max(rounds * b, 1)}
 
@@ -1040,6 +1043,7 @@ class BatchedSpecEngine(SpecEngine):
             "admission_s": lat_admit,
             "completion_s": lat_total,
             "preemptions": preemptions,
+            "accept_per_round": total / max(busy_slot_rounds, 1),
             "admission_p50_s": q(lat_admit, 50),
             "admission_p95_s": q(lat_admit, 95),
             "completion_p50_s": q(lat_total, 50),
