@@ -590,7 +590,8 @@ class BatchedSpecEngine(SpecEngine):
     def serve(self, prompts: Sequence, max_new_tokens=None,
               eos_token_id: int = 2, seed: int = 0,
               rounds_per_dispatch: int = 256,
-              queue_order: str = "fifo", shared_prefix=None):
+              queue_order: str = "fifo", shared_prefix=None,
+              on_token=None):
         """TOKEN-LEVEL continuous batching: up to `batch_size` slots run
         synchronized rounds; a slot whose request finishes is refilled from
         the device-resident queue IN-PROGRAM (see _get_serve_scan) and
@@ -625,7 +626,14 @@ class BatchedSpecEngine(SpecEngine):
         distributionally correct but are not bit-identical (fewer chain
         rounds means a different per-lane RNG split schedule). Pass
         "auto" to detect the longest common prefix of the queued prompts
-        instead of supplying one."""
+        instead of supplying one.
+
+        `on_token(request_index, token)` streams tokens out as the host
+        unpacks each dispatch (SSE-style incremental delivery): called in
+        emission order for every generated token, including the eos.
+        Delivery granularity is `rounds_per_dispatch` — lower K streams
+        sooner at more dispatch overhead, the same tradeoff as
+        admission."""
         n_req = len(prompts)
         if max_new_tokens is None:
             budgets = [self.cfg.max_new_tokens] * n_req
@@ -735,6 +743,8 @@ class BatchedSpecEngine(SpecEngine):
                     for t in accs[j, s][:naccs[j, s]]:
                         outs[r].append(int(t))
                         new_tokens[r] += 1
+                        if on_token is not None:
+                            on_token(r, int(t))
                         if int(t) == eos_token_id or \
                                 new_tokens[r] >= budgets[r]:
                             finished[r] = True
@@ -763,7 +773,8 @@ class BatchedSpecEngine(SpecEngine):
                      clock=None, queue_order: str = "fifo",
                      starvation_cap: int | None = None,
                      shared_prefix=None,
-                     preempt_factor: float | None = None):
+                     preempt_factor: float | None = None,
+                     on_token=None):
         """Streaming-arrival continuous batching: request r only becomes
         admittable `arrivals_s[r]` seconds after serving starts. Between
         device dispatches the host appends newly-arrived requests to the
@@ -811,7 +822,10 @@ class BatchedSpecEngine(SpecEngine):
         with an idle lane; zero tokens are recomputed, so its stream is
         exactly what it would have produced uninterrupted. At most one
         request is paused at a time (a snapshot holds a full lane KV
-        allocation). None (default) disables preemption."""
+        allocation). None (default) disables preemption.
+
+        `on_token(request_index, token)` streams tokens per dispatch as
+        in serve()."""
         import time as _time
         n_req = len(prompts)
         assert len(arrivals_s) == n_req, (len(arrivals_s), n_req)
@@ -1020,6 +1034,8 @@ class BatchedSpecEngine(SpecEngine):
                     for tk in accs[j, s][:naccs[j, s]]:
                         outs[r].append(int(tk))
                         new_tokens[r] += 1
+                        if on_token is not None:
+                            on_token(r, int(tk))
                         if int(tk) == eos_token_id or \
                                 new_tokens[r] >= budgets[r]:
                             finished[r] = True

@@ -377,6 +377,19 @@ def test_serve_stream_sjf_starvation_cap_promotes_long_request():
     assert a[1] < a[3] and a[1] < a[4], a
 
 
+def test_serve_on_token_streams_in_order():
+    """on_token delivers every generated token, in emission order per
+    request, and the concatenation equals the returned outputs."""
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(61)
+    prompts = [rng.integers(3, 14, 6 + i).tolist() for i in range(4)]
+    streamed = {i: [] for i in range(4)}
+    outs, _ = eng.serve(prompts, max_new_tokens=5, eos_token_id=-1,
+                        on_token=lambda r, t: streamed[r].append(t))
+    for i in range(4):
+        assert streamed[i] == outs[i][len(prompts[i]):], i
+
+
 def test_warmup_compiles_serve_paths():
     """warmup() pre-pays the dispatch programs, the prefix template, and
     the snapshot gather/scatter; serving afterwards is still lossless."""
