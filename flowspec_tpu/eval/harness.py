@@ -155,7 +155,7 @@ def run_eval_serve(engine, tokenize: Callable[[str], Sequence[int]],
                    questions: List[dict], name: str = "serve",
                    template: str = "vicuna", max_new_tokens: int = 64,
                    eos_token_id: int = -1, queue_order: str = "fifo",
-                   prefix_cache: bool = False,
+                   prefix_cache: bool = False, warmup: bool = True,
                    results_path: Optional[str] = None) -> dict:
     """Dataset-level CONTINUOUS BATCHING eval: every question's first turn
     is queued through `BatchedSpecEngine.serve` at once — aggregate
@@ -164,12 +164,24 @@ def run_eval_serve(engine, tokenize: Callable[[str], Sequence[int]],
     supports). With `prefix_cache=True` the chat template's shared
     preamble is auto-detected (`shared_prefix="auto"`) and prefilled once
     for the whole dataset — the realistic production configuration, since
-    every templated prompt in a dataset shares the system preamble."""
+    every templated prompt in a dataset shares the system preamble.
+
+    `warmup` (default on) pre-pays the serve-path compiles with a tiny
+    serve() call so throughput_tok_s measures steady-state serving, not
+    first-call compilation — on the tunneled backend a cold 7B compile is
+    minutes, which made cold rows incomparable to bench.py's warmed rows
+    (advisor r3). Rows record `warmed` so cold rows are identifiable."""
     prompts = [[int(t) for t in tokenize(build_prompt(
         [(q["turns"][0], None)], template=template))] for q in questions]
     kw = {"queue_order": queue_order}
     if prefix_cache:
-        kw["shared_prefix"] = "auto"
+        # resolve "auto" over the FULL prompt set up front: a 2-prompt
+        # warmup would detect a longer LCP and build (and cache) a
+        # template the real call can't reuse
+        kw["shared_prefix"] = engine._detect_shared_prefix(prompts)
+    if warmup:
+        engine.serve(prompts[:2], max_new_tokens=4,
+                     eos_token_id=eos_token_id, **kw)
     t0 = time.perf_counter()
     outs, stats = engine.serve(prompts, max_new_tokens=max_new_tokens,
                                eos_token_id=eos_token_id, **kw)
@@ -185,6 +197,7 @@ def run_eval_serve(engine, tokenize: Callable[[str], Sequence[int]],
         "latency_rounds_p95": int(lr[min(len(lr) - 1,
                                          int(0.95 * (len(lr) - 1)))]),
         "queue_order": queue_order, "prefix_cache": bool(prefix_cache),
+        "warmed": bool(warmup),
     }
     if results_path:
         with open(results_path, "a") as f:

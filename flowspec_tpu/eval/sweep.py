@@ -62,8 +62,13 @@ def build_engine(args, mc, tc, params, draft, temperature: float):
         return TPEngine(params, draft, cfg)
     if args.engine == "serve":
         from flowspec_tpu.runtime.batched import BatchedSpecEngine
+        # adapt_tree=False: the batch-adaptive table would silently cap
+        # total_tokens at 47/31 for >=2/>=4 slots, making every sweep row
+        # above the cap measure the same tree while recording the requested
+        # one (advisor r3). A sweep must run exactly the config it reports.
         return BatchedSpecEngine(params, draft, cfg,
-                                 batch_size=args.serve_slots)
+                                 batch_size=args.serve_slots,
+                                 adapt_tree=False)
     from flowspec_tpu.runtime import SpecEngine
     return SpecEngine(params, draft, cfg)
 

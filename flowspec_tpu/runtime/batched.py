@@ -984,12 +984,17 @@ class BatchedSpecEngine(SpecEngine):
                         budgets[order[qpos]])
                 elif qh < n_arrived:
                     r = order[qh]
+                    # PRNG keyed by QUEUE POSITION (seed + qh), matching the
+                    # in-program device refill (jax.random.key(seed + qidx))
+                    # and serve()'s host fill — keying by request id made a
+                    # stochastic stream depend on which path admitted it and
+                    # could collide with a position-keyed lane (advisor r3)
                     if tstate is None:
-                        st = self.init_state(seed + r)
+                        st = self.init_state(seed + qh)
                     else:
                         pr = np.asarray(prompts[r], np.int32).reshape(-1)
                         st = self._lane_from_template(
-                            tstate, int(pr[pfx_len]), seed + r)
+                            tstate, int(pr[pfx_len]), seed + qh)
                     batched = self._write_slot(batched, st, s)
                     bctx = self._write_slot(bctx, self._serve_ctx(
                         prompts[r], prompt_pos=pfx_len), s)

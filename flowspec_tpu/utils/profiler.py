@@ -95,8 +95,17 @@ class Profiler:
         """Record the named section's allocated-bytes delta and the peak
         observed across it (OOM has been this repo's #1 hardware failure
         mode; see ROADMAP r1 #2). Results land in `self.memory[name]` as
-        {'alloc_delta', 'peak', 'count'} and the timestamp stream gets
-        start/stop events like time_context."""
+        {'alloc_delta', 'peak', 'peak_is_new', 'count'} and the timestamp
+        stream gets start/stop events like time_context.
+
+        Caveat (advisor r3): PJRT exposes no per-section peak reset, so
+        `peak` is the PROCESS-LIFETIME peak as of section exit (the
+        reference's CUDA counters reset per section,
+        profiler/profiler.py:137-194 — no PJRT equivalent exists).
+        `peak_is_new` disambiguates: True means the peak ROSE during this
+        section (so it was reached inside it); False means some earlier
+        allocation still holds the high-water mark and the section's own
+        peak is unknown, <= the reported value."""
         before = self.memory_stats(device)
         self.start(name)
         try:
@@ -106,10 +115,14 @@ class Profiler:
             self.stop(name)
             after = self.memory_stats(device)
             m = self.memory.setdefault(
-                name, {"alloc_delta": 0, "peak": 0, "count": 0})
+                name, {"alloc_delta": 0, "peak": 0, "peak_is_new": False,
+                       "count": 0})
             m["alloc_delta"] += (after["bytes_in_use"]
                                  - before["bytes_in_use"])
             m["peak"] = max(m["peak"], after["peak_bytes_in_use"])
+            m["peak_is_new"] = bool(
+                m["peak_is_new"] or after["peak_bytes_in_use"]
+                > before["peak_bytes_in_use"])
             m["count"] += 1
 
     @contextlib.contextmanager
@@ -128,7 +141,9 @@ class Profiler:
         for name, m in self.memory.items():
             out.setdefault(name, {}).update(
                 {"alloc_delta_mb": round(m["alloc_delta"] / 2 ** 20, 2),
-                 "peak_mb": round(m["peak"] / 2 ** 20, 2)})
+                 "peak_mb": round(m["peak"] / 2 ** 20, 2),
+                 # lifetime peak, not per-section (see memory_context)
+                 "peak_is_new": m.get("peak_is_new", False)})
         return out
 
     def save(self, path: str):

@@ -33,6 +33,7 @@ Run: python tools/train_struct_base.py      (mid holds the TPU ~20-40 min)
 """
 
 import dataclasses
+import functools
 import json
 import os
 import sys
@@ -68,6 +69,16 @@ SCALES = {
                 n_seqs=16384, holdout=64, batch=16, steps=12000, lr=1e-3,
                 distill_pool=256, distill_outer=300, gen_tokens=256,
                 prompt_len=64, draft_width=1024, distill_batch=16),
+    # bench scale (r3 verdict #1): ~0.5B — big enough that serve rounds
+    # are HBM-meaningful (1GB bf16 weights), small enough that f32 master
+    # + adamw moments + grads (~9GB) fit beside activations on the 16GB
+    # chip. Same K=16 structure family the mid draft PROVED learnable
+    # (held-out agree 0.827); full-width draft (EAGLE's layout).
+    "big": dict(vocab=8192, hidden=1792, inter=4864, layers=12, heads=14,
+                kv=14, n_classes=16, copy_dist=16, seq_len=512,
+                n_seqs=16384, holdout=64, batch=16, steps=12000, lr=8e-4,
+                distill_pool=256, distill_outer=300, gen_tokens=256,
+                prompt_len=64, draft_width=1792, distill_batch=16),
 }
 
 DRAFT_FIELDS = ("fc_w", "fc_b", "wq", "wk", "wv", "wo",
@@ -163,9 +174,12 @@ def load_draft(path, embed, dtype):
         for f in DRAFT_FIELDS})
 
 
-def train_base(mc, corpus_train, s, steps, log=print):
+def train_base(mc, corpus_train, s, steps, log=print, save_every=None,
+               save_path=None):
     """Next-token CE on the corpus; f32 master weights, bf16 compute.
-    Returns bf16 LlamaParams."""
+    Returns bf16 LlamaParams. `save_every` steps (if set) snapshots the
+    params to `save_path` so a crash never costs the whole run — at the
+    big scale base training holds the TPU ~2h."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -196,7 +210,9 @@ def train_base(mc, corpus_train, s, steps, log=print):
     # are baked into the HLO and the tunneled remote-compile endpoint
     # rejects multi-MB uploads (CLAUDE.md round-3 notes)
 
-    @jax.jit
+    # donate params+opt_state: at 0.5B the f32 master+moments are ~6GB —
+    # without donation XLA holds input AND output copies across the call
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run_chunk(params, opt_state, it0, corpus):
         (params, opt_state), (ces, accs) = jax.lax.scan(
             lambda c, it: one_step(c, it, corpus), (params, opt_state),
@@ -210,6 +226,10 @@ def train_base(mc, corpus_train, s, steps, log=print):
             params, opt_state, jnp.asarray(c, jnp.int32), tok_dev)
         log(f"base step {c+chunk:5d}/{steps} ce {float(ce):.4f} "
             f"top1 {float(acc):.3f} ({time.time()-t0:.0f}s)")
+        if (save_every and save_path and (c + chunk) % save_every == 0
+                and c + chunk < steps):
+            save_base(params, save_path)
+            log(f"checkpoint: {save_path} @ step {c+chunk}")
     del opt_state
     eval_loss = jax.jit(lm_loss)
     bf16 = jax.tree_util.tree_map(
@@ -432,7 +452,10 @@ def run(scale: str, log=print):
         lm_loss = jax.jit(make_lm_loss(mc, s["seq_len"]))
         ce_h, acc_h = (float(x) for x in lm_loss(params, jnp.asarray(hold)))
     else:
-        params, eval_loss = train_base(mc, train, s, s["steps"], log=log)
+        params, eval_loss = train_base(
+            mc, train, s, s["steps"], log=log,
+            save_every=int(os.environ.get("STRUCT_SAVE_EVERY", "2000")),
+            save_path=f"/tmp/struct_base_{scale}_last.npz")
         # checkpoint immediately: a crash in a later phase must not cost
         # the ~30 min of base training (it did once)
         save_base(params, f"/tmp/struct_base_{scale}_last.npz")
