@@ -156,7 +156,9 @@ def run_eval_serve(engine, tokenize: Callable[[str], Sequence[int]],
                    template: str = "vicuna", max_new_tokens: int = 64,
                    eos_token_id: int = -1, queue_order: str = "fifo",
                    prefix_cache: bool = False, warmup: bool = True,
-                   results_path: Optional[str] = None) -> dict:
+                   max_turns: int = 1,
+                   detokenize: Optional[Callable] = None,
+                   results_path: Optional[str] = None) -> List[dict]:
     """Dataset-level CONTINUOUS BATCHING eval: every question's first turn
     is queued through `BatchedSpecEngine.serve` at once — aggregate
     dataset throughput instead of the reference's one-question-at-a-time
@@ -170,39 +172,79 @@ def run_eval_serve(engine, tokenize: Callable[[str], Sequence[int]],
     serve() call so throughput_tok_s measures steady-state serving, not
     first-call compilation — on the tunneled backend a cold 7B compile is
     minutes, which made cold rows incomparable to bench.py's warmed rows
-    (advisor r3). Rows record `warmed` so cold rows are identifiable."""
-    prompts = [[int(t) for t in tokenize(build_prompt(
-        [(q["turns"][0], None)], template=template))] for q in questions]
-    kw = {"queue_order": queue_order}
-    if prefix_cache:
-        # resolve "auto" over the FULL prompt set up front: a 2-prompt
-        # warmup would detect a longer LCP and build (and cache) a
-        # template the real call can't reuse
-        kw["shared_prefix"] = engine._detect_shared_prefix(prompts)
-    if warmup:
-        engine.serve(prompts[:2], max_new_tokens=4,
-                     eos_token_id=eos_token_id, **kw)
-    t0 = time.perf_counter()
-    outs, stats = engine.serve(prompts, max_new_tokens=max_new_tokens,
-                               eos_token_id=eos_token_id, **kw)
-    dt = time.perf_counter() - t0
-    lr = sorted(stats["latency_rounds"])
-    row = {
-        "name": name, "questions": len(questions),
-        "new_tokens": stats["new_tokens"],
-        "throughput_tok_s": round(stats["new_tokens"] / dt, 3),
-        "rounds": stats["rounds"],
-        "slot_utilization": round(stats["slot_utilization"], 3),
-        "latency_rounds_p50": int(lr[len(lr) // 2]),
-        "latency_rounds_p95": int(lr[min(len(lr) - 1,
-                                         int(0.95 * (len(lr) - 1)))]),
-        "queue_order": queue_order, "prefix_cache": bool(prefix_cache),
-        "warmed": bool(warmup),
-    }
-    if results_path:
-        with open(results_path, "a") as f:
-            f.write(json.dumps(row) + "\n")
-    return row
+    (advisor r3). Rows record `warmed` so cold rows are identifiable.
+
+    `max_turns` > 1 (requires `detokenize`) runs the reference's
+    multi-turn loop (eval/run_pipe_eval.py:200-320) THROUGH the serving
+    path: every question's turn k is served as one continuous-batching
+    workload, with per-conversation lane snapshots
+    (BatchedSpecEngine ConversationStore) so turn k+1 resumes each
+    conversation's KV and chain-prefills only the new turn — the
+    reference re-prefills the whole conversation every turn. Returns one
+    row per turn; turn-2+ rows record `resumed` and their
+    latency_rounds_p50 shows the TTFT cut."""
+    from flowspec_tpu.runtime.batched import ConversationStore
+    assert max_turns == 1 or detokenize is not None, \
+        "multi-turn serving eval needs detokenize to build turn-2 prompts"
+    store = ConversationStore(max_items=len(questions)) \
+        if max_turns > 1 else None
+    convos = [[] for _ in questions]
+    rows = []
+    for turn in range(max_turns):
+        idx = [i for i, q in enumerate(questions)
+               if len(q.get("turns", [])) > turn]
+        if not idx:
+            break
+        prompts = []
+        for i in idx:
+            convos[i].append((questions[i]["turns"][turn], None))
+            prompts.append([int(t) for t in tokenize(
+                build_prompt(convos[i], template=template))])
+        kw = {"queue_order": queue_order}
+        if store is not None:
+            kw["conversations"] = store
+            kw["conversation_ids"] = list(idx)
+            kw["rounds_per_dispatch"] = 16
+        if prefix_cache:
+            # resolve "auto" over the FULL prompt set up front: a 2-prompt
+            # warmup would detect a longer LCP and build (and cache) a
+            # template the real call can't reuse
+            kw["shared_prefix"] = engine._detect_shared_prefix(prompts)
+        if warmup and turn == 0:
+            wkw = dict(kw)
+            if store is not None:
+                wkw["conversations"] = ConversationStore(max_items=2)
+                wkw["conversation_ids"] = [-1, -2]
+            engine.serve(prompts[:2], max_new_tokens=4,
+                         eos_token_id=eos_token_id, **wkw)
+        t0 = time.perf_counter()
+        outs, stats = engine.serve(prompts, max_new_tokens=max_new_tokens,
+                                   eos_token_id=eos_token_id, **kw)
+        dt = time.perf_counter() - t0
+        for j, i in enumerate(idx):
+            answer = outs[j][len(prompts[j]):]
+            convos[i][-1] = (questions[i]["turns"][turn],
+                             detokenize(answer) if detokenize else "")
+        lr = sorted(stats["latency_rounds"])
+        row = {
+            "name": name, "turn": turn + 1, "questions": len(idx),
+            "new_tokens": stats["new_tokens"],
+            "throughput_tok_s": round(stats["new_tokens"] / dt, 3),
+            "rounds": stats["rounds"],
+            "slot_utilization": round(stats["slot_utilization"], 3),
+            "latency_rounds_p50": int(lr[len(lr) // 2]),
+            "latency_rounds_p95": int(lr[min(len(lr) - 1,
+                                             int(0.95 * (len(lr) - 1)))]),
+            "queue_order": queue_order, "prefix_cache": bool(prefix_cache),
+            "warmed": bool(warmup),
+        }
+        if store is not None:
+            row["resumed"] = stats.get("resumed_turns", 0)
+        rows.append(row)
+        if results_path:
+            with open(results_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+    return rows if max_turns > 1 else rows[0]
 
 
 def length_sweep(forward_at_len: Callable[[int], float],

@@ -54,23 +54,85 @@ def adapt_tree_for_batch(tree, batch_size: int):
         leaf_cap=min(tree.leaf_cap, target))
 
 
+OVERHEAD_ROUNDS = 2     # pause+resume host-boundary dispatches, in rounds
+
+
+class ConversationStore:
+    """Per-conversation lane snapshots for multi-turn serving (the exact
+    EngineState a request finished with, lifted off its lane, plus the
+    full token history). Turn N+1 of a stored conversation resumes from
+    the snapshot and chain-prefills ONLY the new tokens — the serve-path
+    twin of SpecEngine.resume_and_generate (the reference re-prefills the
+    whole conversation every turn, eval/run_pipe_eval.py:200-320).
+
+    Each snapshot holds a full lane KV allocation, so the store is LRU-
+    capped: `max_items` (default 8) bounds device memory."""
+
+    def __init__(self, max_items: int = 8):
+        self.max_items = max_items
+        self._d = {}            # conv_id -> {"state": ..., "history": [..]}
+
+    def get(self, conv_id):
+        if conv_id in self._d:
+            self._d[conv_id] = self._d.pop(conv_id)    # refresh recency
+            return self._d[conv_id]
+        return None
+
+    def put(self, conv_id, state, history):
+        self._d.pop(conv_id, None)
+        while len(self._d) >= self.max_items:
+            self._d.pop(next(iter(self._d)))
+        self._d[conv_id] = {"state": state,
+                            "history": [int(t) for t in history]}
+
+    def __len__(self):
+        return len(self._d)
+
+    def __contains__(self, conv_id):
+        return conv_id in self._d
+
+
 class BatchedSpecEngine(SpecEngine):
     """SpecEngine plus vmapped multi-request decoding over B slots."""
 
     def __init__(self, params: LlamaParams, draft: EagleParams,
                  cfg: EngineConfig, batch_size: int = 4,
-                 adapt_tree: bool = True):
+                 adapt_tree: bool = True, dynamic_tree: bool = False):
         """`adapt_tree` (default on) applies the measured batch->tree-size
         table (see adapt_tree_for_batch); pass False to pin the configured
         tree (e.g. for exact-output parity tests against SpecEngine under
-        stochastic sampling, where tree shape affects the sampled path)."""
-        if adapt_tree:
+        stochastic sampling, where tree shape affects the sampled path).
+
+        `dynamic_tree` keys the SERVE dispatch's tree size on the live
+        active-lane count instead of the static batch size: state is
+        allocated for the full configured tree, and each dispatch picks
+        the adapt_tree_for_batch variant for however many lanes are
+        actually busy — a half-idle streaming batch then earns the bigger
+        per-lane trees its own B=1/2 measurements prefer (r3 verdict #4;
+        the r3 static table left acceptance on the table at utilization
+        0.78-0.87). Greedy outputs are tree-size-invariant, so variant
+        switches mid-workload stay lossless. Implies adapt_tree=False for
+        allocation; generate_batch* paths then run the full tree."""
+        self.dynamic_tree = dynamic_tree
+        if adapt_tree and not dynamic_tree:
             import dataclasses
             cfg = dataclasses.replace(
                 cfg, tree=adapt_tree_for_batch(cfg.tree, batch_size))
         super().__init__(params, draft, cfg)
         self.batch_size = batch_size
         cfg = self.cfg    # SpecEngine clamps the tree caps; stay consistent
+        if dynamic_tree:
+            import dataclasses
+
+            def clamp(tc):
+                return dataclasses.replace(
+                    tc, node_cap=min(tc.node_cap, tc.total_tokens + 1),
+                    leaf_cap=min(tc.leaf_cap, tc.total_tokens + 1))
+            self._tree_variants = {
+                n: clamp(adapt_tree_for_batch(cfg.tree, n))
+                for n in range(1, batch_size + 1)}
+        else:
+            self._tree_variants = {}
         self._vround = jax.jit(jax.vmap(
             functools.partial(_spec_round, cfg=cfg.model, tree_cfg=cfg.tree,
                               sampling=cfg.sampling,
@@ -78,7 +140,8 @@ class BatchedSpecEngine(SpecEngine):
             in_axes=(0, None, None, None)), donate_argnums=(0,))
         self._vloops = {}
         # serve dispatch programs (mixed prefill/decode lanes, ServeCtx
-        # vmapped along 0), keyed by rounds-per-dispatch
+        # vmapped along 0), keyed by rounds-per-dispatch (and tree variant
+        # under dynamic_tree)
         self._serve_scans = {}
         # shared-prefix templates keyed by the prefix tokens (a template
         # holds a full KV allocation — a few hundred MB at 7B — so keep
@@ -88,8 +151,20 @@ class BatchedSpecEngine(SpecEngine):
         self._lane_jit = None
         self._write_slot_jit = None
         self._read_slot_jit = None
+        self._boundary_jit = None
+        self._rollback_jit = None
+        self._zero_tstate = None
 
-    def _get_serve_scan(self, k_rounds: int):
+    def _serve_tree(self, n_active: int):
+        """The dispatch tree for `n_active` busy lanes (None = the engine
+        default program) — see dynamic_tree."""
+        if not self.dynamic_tree:
+            return None
+        n = max(1, min(int(n_active), self.batch_size))
+        tc = self._tree_variants[n]
+        return None if tc == self.cfg.tree else tc
+
+    def _get_serve_scan(self, k_rounds: int, tree_cfg=None):
         """Up to K serve-rounds fused into one device program with
         DEVICE-SIDE slot refill: the full request queue (prompts, lengths,
         budgets) lives on device, and the round body itself detects a lane
@@ -109,12 +184,25 @@ class BatchedSpecEngine(SpecEngine):
 
         Lanes whose commit_len is out of budget-headroom are frozen (old
         state selected back) so garbage rounds past a finished request can
-        never clamp-write over valid KV rows."""
-        if k_rounds not in self._serve_scans:
+        never clamp-write over valid KV rows.
+
+        `tree_cfg` (None = the engine tree) selects a DYNAMIC TREE
+        VARIANT: a tree differing only in total_tokens/node_cap/leaf_cap
+        (same depth_cap/top_k, so all EngineState shapes match and the
+        SAME lane states flow through whichever variant the host picks
+        per dispatch — see serve()'s active-lane keying). Programs are
+        cached per (k, variant)."""
+        key = k_rounds if tree_cfg is None else (k_rounds,
+                                                 tree_cfg.total_tokens)
+        if key not in self._serve_scans:
             cfg = self.cfg
+            tc = cfg.tree if tree_cfg is None else tree_cfg
+            assert tc.depth_cap == cfg.tree.depth_cap, (
+                "tree variants must share depth_cap (state geometry)")
+            assert tc.depth_cap >= 3, "packed tail needs depth_cap+2 >= 5"
             vround = jax.vmap(
                 functools.partial(_spec_round, cfg=cfg.model,
-                                  tree_cfg=cfg.tree, sampling=cfg.sampling,
+                                  tree_cfg=tc, sampling=cfg.sampling,
                                   force_accept=cfg.force_accept),
                 in_axes=(0, None, None, None, 0))
             seq_limit = cfg.max_seq_len - cfg.tree.depth_cap - 1
@@ -124,7 +212,7 @@ class BatchedSpecEngine(SpecEngine):
 
             def run_k(batched, params, draft, beam_head, bctx,
                       lane_req, emitted, lane_budget, qhead,
-                      q_prompts, q_lens, q_budgets, n_q, eos_id, seed,
+                      q_prompts, q_lens, q_budgets, n_q, eos_id, seed, hold,
                       tp_commit, tp_draft_len, tp_pt, tp_ph, tp_np):
                 """lane_req: (B,) request id per slot (-1 idle); qhead: ()
                 next queue index. q_* are the FULL (padded) request queue.
@@ -135,11 +223,21 @@ class BatchedSpecEngine(SpecEngine):
                 [0, tp_commit) are carried by the lane states themselves:
                 every lane starts as a template copy and nothing ever
                 writes below commit_len, so refills only reset lengths.
+
+                `hold` () bool: finished lanes are NOT refilled — their
+                request id is parked as (-2 - req) and the lane idles until
+                the host snapshots its exact state (conversation caching,
+                serve(conversations=...)); -1 stays plain-idle.
+
                 Returns the carried lane arrays plus one packed buffer:
                 packed[j, s, :d_cap]  = accepted tokens of round j, slot s
                 packed[j, s,  d_cap]  = n_accepted
                 packed[j, s,  d_cap+1]= request id the slot served
-                packed[k, 0, 0]       = executed round count."""
+                packed[k, s, 0..4]    = telemetry tail: executed round
+                    count / lane_req / emitted / lane_budget / qhead —
+                    everything the host boundary logic needs, in the ONE
+                    fetch it already pays (per-array fetches cost ~70ms
+                    tunnel RTT each)."""
                 b = lane_req.shape[0]
                 n_pad = q_prompts.shape[0]
                 accs0 = jnp.zeros((k, b, d_cap + 2), jnp.int32)
@@ -166,10 +264,14 @@ class BatchedSpecEngine(SpecEngine):
                         axis=1)
                     em2 = em + n_j
                     fin = (req >= 0) & (eos_hit | (em2 >= bud))
-                    # a lane is refillable when its request just finished OR
-                    # it was already idle (streaming arrivals can repopulate
-                    # the queue after a lane drained it — serve_stream)
-                    free = fin | ((req < 0) & ~ctx3.active)
+                    held = fin & hold
+                    # a lane is refillable when its request just finished
+                    # (and isn't held for a host snapshot) OR it is plain
+                    # idle (streaming arrivals can repopulate the queue
+                    # after a lane drained it — serve_stream); held lanes
+                    # (req <= -2) are never touched until the host
+                    # releases them
+                    free = (fin & ~hold) | ((req == -1) & ~ctx3.active)
 
                     # record BEFORE refill: this round's tokens belong to
                     # the finishing request
@@ -181,7 +283,8 @@ class BatchedSpecEngine(SpecEngine):
                     qidx = qh + jnp.cumsum(free.astype(jnp.int32)) - 1
                     has = free & (qidx < n_q)
                     qsafe = jnp.clip(qidx, 0, n_pad - 1)
-                    req2 = jnp.where(free, jnp.where(has, qidx, -1), req)
+                    req2 = jnp.where(free, jnp.where(has, qidx, -1),
+                                     jnp.where(held, -2 - req, req))
                     em3 = jnp.where(free, 0, em2)
                     bud2 = jnp.where(free,
                                      jnp.where(has, q_budgets[qsafe], big),
@@ -195,7 +298,8 @@ class BatchedSpecEngine(SpecEngine):
                                              ctx3.prompt_len),
                         prompt_pos=jnp.where(free, tp_commit,
                                              ctx3.prompt_pos),
-                        active=jnp.where(free, has, ctx3.active))
+                        active=jnp.where(free, has,
+                                         ctx3.active & ~held))
                     # reset the refilled lanes' engine state to the prefix
                     # template (all-zero without a shared prefix): lengths
                     # back to the prefix watermark, the template's queued
@@ -245,14 +349,18 @@ class BatchedSpecEngine(SpecEngine):
                     cond, body,
                     (batched, bctx, lane_req, emitted, lane_budget, qhead,
                      accs0, i0))
-                tail = jnp.zeros((1, b, d_cap + 2),
-                                 jnp.int32).at[0, 0, 0].set(n)
+                tail = jnp.zeros((1, b, d_cap + 2), jnp.int32)
+                tail = tail.at[0, :, 0].set(n)
+                tail = tail.at[0, :, 1].set(req)
+                tail = tail.at[0, :, 2].set(em)
+                tail = tail.at[0, :, 3].set(bud)
+                tail = tail.at[0, :, 4].set(qh)
                 packed = jnp.concatenate([accs, tail], axis=0)
                 return st, ctx, req, em, bud, qh, packed
 
-            self._serve_scans[k_rounds] = jax.jit(
+            self._serve_scans[key] = jax.jit(
                 run_k, donate_argnums=(0, 4, 5, 6, 7, 8))
-        return self._serve_scans[k_rounds]
+        return self._serve_scans[key]
 
     def _get_vloop(self, max_out: int):
         """max_out is static to the loop body, so each budget gets its own
@@ -298,6 +406,162 @@ class BatchedSpecEngine(SpecEngine):
     def _prefill_one(self, prompt, seed, max_seq=None):
         st = self.init_state(seed, max_seq=max_seq)
         return self.prefill(st, prompt)
+
+    def _rollback_state(self, state, keep: int, key_seed: int):
+        """A stored conversation snapshot rolled back to `keep` committed
+        tokens, pending pairs cleared, fresh per-request key — one jitted
+        dispatch. Exactness argument is resume_and_generate's: committed
+        KV row i holds stream token i, so rolling the lengths back to the
+        common token prefix and re-chaining from the boundary token
+        reproduces the solo stream."""
+        if self._rollback_jit is None:
+            import dataclasses as dc
+
+            def rb(t, kp, sd):
+                return dc.replace(
+                    t,
+                    base_cache=dc.replace(t.base_cache, length=kp),
+                    draft_cache=dc.replace(t.draft_cache, length=kp),
+                    commit_len=kp, n_pending=jnp.zeros((), jnp.int32),
+                    key=jax.random.key(sd))
+            self._rollback_jit = jax.jit(rb)
+        return self._rollback_jit(state, jnp.asarray(keep, jnp.int32),
+                                  jnp.asarray(key_seed, jnp.int32))
+
+    # ---- fused host-boundary surgery ---------------------------------
+    def _zero_template(self):
+        """A cached all-zero single-lane EngineState — the 'template' for
+        fresh lane fills when serving without a shared prefix (identical
+        to init_state modulo the per-lane key, which the boundary op
+        re-derives from fresh_seed)."""
+        if self._zero_tstate is None:
+            self._zero_tstate = self.init_state(0)
+        return self._zero_tstate
+
+    def _get_boundary(self):
+        """ONE jitted dispatch applying a host boundary's ENTIRE lane
+        surgery: resume a parked request into a lane (optionally rolling
+        its state back to a token watermark — multi-turn resume), admit
+        fresh requests from the queue (template copies with the first
+        suffix token patched in), and lift a pause/snapshot victim's exact
+        state out — all in a single call. The r3 implementation spent
+        ~4-6 dispatches (~70ms tunnel RTT each) per admission on
+        _read_slot/_write_slot/eager .at[].set chains, which is exactly
+        the host-surgery tax CLAUDE.md's round-3 notes flag; this is the
+        one-jit fold.
+
+        src_sel (B,): 0 keep lane, 1 take the parked state, 2 fresh fill.
+        pause_idx (): lane to snapshot (before any writes), -1 for none —
+        the snapshot is always returned (callers ignore it when unused).
+        parked_rollback (): >=0 rolls the parked state's commit/KV
+        watermarks back to that many committed tokens and clears pending
+        pairs (resume_and_generate's rollback, serve-side)."""
+        if self._boundary_jit is None:
+            import dataclasses as dc
+
+            def combine_raw(sel, old, par, fr):
+                s = jnp.reshape(sel, sel.shape + (1,) * (old.ndim - 1))
+                return jnp.where(s == 1, par[None],
+                                 jnp.where(s == 2, fr, old))
+
+            def combine(sel, old, par, fr):
+                if jnp.issubdtype(old.dtype, jax.dtypes.prng_key):
+                    kd = combine_raw(sel, jax.random.key_data(old),
+                                     jax.random.key_data(par),
+                                     jax.random.key_data(fr))
+                    return jax.random.wrap_key_data(
+                        kd, impl=jax.random.key_impl(old))
+                return combine_raw(sel, old, par, fr)
+
+            def apply(batched, bctx, emitted, budget,
+                      parked_st, parked_ctx, parked_em, parked_bud,
+                      parked_rollback, tstate, src_sel, fresh_qpos,
+                      fresh_sfx, fresh_seed, fresh_pos, pause_idx,
+                      q_prompts, q_lens, q_budgets):
+                b = src_sel.shape[0]
+                # snapshot BEFORE any writes
+                pi = jnp.clip(pause_idx, 0, b - 1)
+                snap_st = jax.tree_util.tree_map(lambda a: a[pi], batched)
+                snap_ctx = jax.tree_util.tree_map(lambda a: a[pi], bctx)
+                snap_em, snap_bud = emitted[pi], budget[pi]
+
+                # parked rollback (multi-turn resume semantics)
+                rb = parked_rollback
+                mk = lambda old, new: jnp.where(rb >= 0, new, old)
+                parked_st = dc.replace(
+                    parked_st,
+                    base_cache=dc.replace(
+                        parked_st.base_cache,
+                        length=mk(parked_st.base_cache.length, rb)),
+                    draft_cache=dc.replace(
+                        parked_st.draft_cache,
+                        length=mk(parked_st.draft_cache.length, rb)),
+                    commit_len=mk(parked_st.commit_len, rb),
+                    n_pending=mk(parked_st.n_pending,
+                                 jnp.zeros((), jnp.int32)))
+
+                # fresh lanes: template copies, first suffix token patched
+                # into the placeholder pair slot, per-lane key
+                def one(s, sd):
+                    pt = jnp.where(
+                        jnp.arange(tstate.pending_tokens.shape[0])
+                        == tstate.n_pending - 1,
+                        jnp.where(s >= 0, s, tstate.pending_tokens[
+                            jnp.clip(tstate.n_pending - 1, 0, None)]),
+                        tstate.pending_tokens)
+                    return dc.replace(
+                        tstate, pending_tokens=pt,
+                        root_token=jnp.where(s >= 0, s, tstate.root_token),
+                        key=jax.random.key(sd))
+                fresh = jax.vmap(one)(fresh_sfx, fresh_seed)
+                qsafe = jnp.clip(fresh_qpos, 0, q_prompts.shape[0] - 1)
+                fresh_ctx = ServeCtx(prompt_buf=q_prompts[qsafe],
+                                     prompt_len=q_lens[qsafe],
+                                     prompt_pos=fresh_pos,
+                                     active=fresh_qpos >= 0)
+
+                cmb = functools.partial(combine, src_sel)
+                new_b = jax.tree_util.tree_map(cmb, batched,
+                                               parked_st, fresh)
+                new_ctx = jax.tree_util.tree_map(cmb, bctx,
+                                                 parked_ctx, fresh_ctx)
+                new_em = jnp.where(src_sel == 1, parked_em,
+                                   jnp.where(src_sel == 2, 0, emitted))
+                new_bud = jnp.where(src_sel == 1, parked_bud,
+                                    jnp.where(src_sel == 2,
+                                              q_budgets[qsafe], budget))
+                return (new_b, new_ctx, new_em, new_bud,
+                        snap_st, snap_ctx, snap_em, snap_bud)
+
+            self._boundary_jit = jax.jit(apply, donate_argnums=(0, 1, 2, 3))
+        return self._boundary_jit
+
+    def _run_boundary(self, batched, bctx, emitted, budget, plan,
+                      q_prompts, q_lens, q_budgets):
+        """Host wrapper: `plan` is a dict with src_sel/fresh_*/pause_idx/
+        tstate/parked (None or (st, ctx, em, bud)) and parked_rollback.
+        Returns (batched, bctx, emitted, budget, snapshot-or-None)."""
+        parked = plan.get("parked")
+        if parked is None:
+            z = self._zero_template()
+            parked = (z, self._serve_ctx(None), 0, 0)
+        out = self._get_boundary()(
+            batched, bctx, emitted, budget,
+            parked[0], parked[1],
+            jnp.asarray(int(parked[2]), jnp.int32),
+            jnp.asarray(int(parked[3]), jnp.int32),
+            jnp.asarray(int(plan.get("parked_rollback", -1)), jnp.int32),
+            plan.get("tstate") or self._zero_template(),
+            jnp.asarray(plan["src_sel"], jnp.int32),
+            jnp.asarray(plan["fresh_qpos"], jnp.int32),
+            jnp.asarray(plan["fresh_sfx"], jnp.int32),
+            jnp.asarray(plan["fresh_seed"], jnp.int32),
+            jnp.asarray(plan["fresh_pos"], jnp.int32),
+            jnp.asarray(int(plan.get("pause_idx", -1)), jnp.int32),
+            q_prompts, q_lens, q_budgets)
+        batched, bctx, emitted, budget = out[:4]
+        snap = out[4:] if plan.get("pause_idx", -1) >= 0 else None
+        return batched, bctx, emitted, budget, snap
 
     # ------------------------------------------------------------------
     def generate_batch(self, prompts: Sequence, max_new_tokens=None,
@@ -439,6 +703,22 @@ class BatchedSpecEngine(SpecEngine):
         ctx = self._stack_states(
             [self._serve_ctx(None) for _ in range(self.batch_size)])
         ctx = self._write_slot(ctx, self._read_slot(ctx, 0), 0)
+        # the fused boundary op (admissions/preemption/conversation
+        # snapshots all route through it)
+        b = self.batch_size
+        st = self._stack_states(
+            [self.init_state(i) for i in range(b)])
+        em = jnp.zeros((b,), jnp.int32)
+        bud = jnp.full((b,), 8, jnp.int32)
+        bctx = self._stack_states([self._serve_ctx(None) for _ in range(b)])
+        p_cap = self.cfg.max_seq_len
+        qz = (jnp.zeros((8, p_cap), jnp.int32), jnp.zeros((8,), jnp.int32),
+              jnp.zeros((8,), jnp.int32))
+        self._run_boundary(
+            st, bctx, em, bud,
+            dict(src_sel=[0] * b, fresh_qpos=[-1] * b, fresh_sfx=[-1] * b,
+                 fresh_seed=[0] * b, fresh_pos=[0] * b, pause_idx=0,
+                 parked=None, tstate=None), *qz)
 
     # ---- shared-prefix (prefix-cache) serving ------------------------
     def _prefix_template(self, shared_prefix, seed: int):
@@ -591,7 +871,8 @@ class BatchedSpecEngine(SpecEngine):
               eos_token_id: int = 2, seed: int = 0,
               rounds_per_dispatch: int = 256,
               queue_order: str = "fifo", shared_prefix=None,
-              on_token=None):
+              on_token=None, conversations=None,
+              conversation_ids=None):
         """TOKEN-LEVEL continuous batching: up to `batch_size` slots run
         synchronized rounds; a slot whose request finishes is refilled from
         the device-resident queue IN-PROGRAM (see _get_serve_scan) and
@@ -632,8 +913,21 @@ class BatchedSpecEngine(SpecEngine):
         unpacks each dispatch (SSE-style incremental delivery): called in
         emission order for every generated token, including the eos.
         Delivery granularity is `rounds_per_dispatch` — lower K streams
-        sooner at more dispatch overhead, the same tradeoff as
-        admission."""
+        sooner at more dispatch overhead, the same tradeoff as admission.
+
+        MULTI-TURN serving: pass `conversations` (a ConversationStore) and
+        `conversation_ids` (one id per prompt). Each request whose id is
+        in the store and whose prompt extends the stored history resumes
+        from the stored lane snapshot — KV rolled back to the common
+        token prefix, only the new turn chain-prefilled (the serve-side
+        twin of resume_and_generate; the reference re-prefills the whole
+        conversation every turn, eval/run_pipe_eval.py:200-320). Finished
+        requests' exact lane states are lifted off their lanes and stored
+        under their ids for the next turn. In this mode lane transitions
+        happen at HOST boundaries (the in-program refill cannot restore a
+        per-request KV snapshot), so refills wait up to
+        `rounds_per_dispatch` rounds — use a small K (e.g. 16); the
+        returned stats gain `resumed_turns`."""
         n_req = len(prompts)
         if max_new_tokens is None:
             budgets = [self.cfg.max_new_tokens] * n_req
@@ -655,12 +949,16 @@ class BatchedSpecEngine(SpecEngine):
         if shared_prefix is not None:
             self._check_shared_prefix(prompts, shared_prefix)
             tstate, pfx_len = self._prefix_template(shared_prefix, seed)
-        scan_k = self._get_serve_scan(k)
+        conv_mode = conversations is not None
+        if conv_mode:
+            assert conversation_ids is not None and \
+                len(conversation_ids) == n_req, "one id per prompt"
         outs: List[list] = [list(np.asarray(p, np.int64)) for p in prompts]
         new_tokens = [0] * n_req
         finished = [False] * n_req
         admit_round = [0] * n_req    # round index when the slot was filled
         finish_round = [0] * n_req
+        resumed_turns = 0
 
         # admission order: queue position -> request id (identity for fifo)
         order = self._queue_schedule(list(range(n_req)), budgets,
@@ -682,30 +980,76 @@ class BatchedSpecEngine(SpecEngine):
         q_lens = jnp.asarray(q_lens)
         q_budgets = jnp.asarray(q_budgets)
 
+        def _resume_keep(r):
+            """Committed-token watermark to resume request r from, or -1
+            for a fresh fill (no stored conversation / prefix too short).
+            Mirrors the harness LCP logic: committed KV row i holds stream
+            token i, so any shared token prefix is reusable."""
+            if not conv_mode:
+                return -1, None
+            ent = conversations.get(conversation_ids[r])
+            if ent is None:
+                return -1, None
+            hist = ent["history"]
+            toks = [int(x) for x in np.asarray(prompts[r]).reshape(-1)]
+            m = min(len(toks) - 1, len(hist))
+            lcp = 0
+            while lcp < m and toks[lcp] == hist[lcp]:
+                lcp += 1
+            if lcp < 2:
+                return -1, None
+            return lcp - 1, ent["state"]
+
         # initial fill: slots 0..b-1 take queue entries 0..b-1 on host (the
         # device path only refills on completion). Seeds are keyed by queue
         # position to match the device refill's jax.random.key(seed + qpos).
         slot_q = [s if s < n_req else -1 for s in range(b)]
-        ctxs, sfx, kseeds = [], [], []
+        lane_np = list(slot_q)
+        ctxs, sfx, kseeds, states = [], [], [], []
         for s in range(b):
             qp = slot_q[s]
             kseeds.append(seed + (qp if qp >= 0 else 1000 + s))
             pr = (np.asarray(prompts[order[qp]], np.int32).reshape(-1)
                   if qp >= 0 else None)
-            sfx.append(int(pr[pfx_len]) if pr is not None else -1)
-            ctxs.append(self._serve_ctx(pr, prompt_pos=pfx_len))
-        if tstate is None:
+            keep, rstate = _resume_keep(order[qp]) if qp >= 0 else (-1,
+                                                                    None)
+            if rstate is not None:
+                # multi-turn resume: stored snapshot rolled back to the
+                # common-prefix watermark; the chain re-forwards the
+                # boundary token and prefills only the new turn
+                states.append(self._rollback_state(rstate, keep,
+                                                   kseeds[-1]))
+                ctxs.append(self._serve_ctx(pr, prompt_pos=keep))
+                sfx.append(-1)
+                resumed_turns += 1
+            else:
+                states.append(None)
+                sfx.append(int(pr[pfx_len]) if pr is not None else -1)
+                ctxs.append(self._serve_ctx(pr, prompt_pos=pfx_len))
+        if any(st is not None for st in states):
+            base = (self._lane_from_template(tstate, s_, ks)
+                    if tstate is not None else None
+                    for s_, ks in zip(sfx, kseeds))
+            lanes = []
+            for s, (st, bs) in enumerate(zip(states, base)):
+                if st is not None:
+                    lanes.append(st)
+                elif bs is not None:
+                    lanes.append(bs)
+                else:
+                    lanes.append(self.init_state(kseeds[s]))
+            batched = self._stack_states(lanes)
+        elif tstate is None:
             batched = self._stack_states(
                 [self.init_state(ks) for ks in kseeds])
         else:
             batched = self._lanes_from_template(tstate, sfx, kseeds)
         bctx = self._stack_states(ctxs)
-        lane_req = jnp.asarray(slot_q, jnp.int32)
         emitted = jnp.zeros((b,), jnp.int32)
         lane_budget = jnp.asarray(
             [budgets[order[qp]] if qp >= 0 else 2 ** 30 for qp in slot_q],
             jnp.int32)
-        qhead = jnp.asarray(min(b, n_req), jnp.int32)
+        qh_host = min(b, n_req)
 
         rounds = 0
         busy_slot_rounds = 0
@@ -713,18 +1057,24 @@ class BatchedSpecEngine(SpecEngine):
         for qp in range(min(b, n_req)):
             first_seen[order[qp]] = 0
         tmpl = self._template_consts(tstate)
+        n_active = sum(1 for l in lane_np if l >= 0)
         while not all(finished):
+            scan_k = self._get_serve_scan(k, self._serve_tree(n_active))
             (batched, bctx, lane_req, emitted, lane_budget, qhead,
              packed) = scan_k(
                 batched, self.params, self.draft, self.beam_head, bctx,
-                lane_req, emitted, lane_budget, qhead,
+                jnp.asarray(lane_np, jnp.int32), emitted, lane_budget,
+                jnp.asarray(qh_host, jnp.int32),
                 q_prompts, q_lens, q_budgets,
-                jnp.asarray(n_req, jnp.int32),
+                jnp.asarray(0 if conv_mode else n_req, jnp.int32),
                 jnp.asarray(eos_token_id, jnp.int32),
-                jnp.asarray(seed, jnp.int32), *tmpl)
+                jnp.asarray(seed, jnp.int32),
+                jnp.asarray(conv_mode), *tmpl)
             packed = np.asarray(packed)          # ONE device->host fetch
             n_exec = int(packed[-1, 0, 0])
             assert n_exec > 0, "serve scan made no progress"
+            lane_np = [int(x) for x in packed[-1, :, 1]]
+            qh_host = int(packed[-1, 0, 4])
             accs = packed[:-1, :, :-2]           # (K, B, depth_cap)
             naccs = packed[:-1, :, -2]           # (K, B)
             reqs = packed[:-1, :, -1]            # (K, B)
@@ -751,20 +1101,72 @@ class BatchedSpecEngine(SpecEngine):
                             finish_round[r] = rounds + j + 1
                             break
             rounds += n_exec
+            if conv_mode:
+                # held lanes (req <= -2): snapshot the exact finish state
+                # into the store, then refill the lane from the queue —
+                # all in fused boundary dispatches (one per held lane)
+                for s in range(b):
+                    if lane_np[s] > -2:
+                        continue
+                    qpos = -2 - lane_np[s]
+                    r = order[qpos]
+                    plan = dict(src_sel=[0] * b, fresh_qpos=[-1] * b,
+                                fresh_sfx=[-1] * b, fresh_seed=[0] * b,
+                                fresh_pos=[0] * b, pause_idx=s,
+                                parked=None, tstate=tstate)
+                    lane_np[s] = -1
+                    if qh_host < n_req:
+                        rn = order[qh_host]
+                        keep, rstate = _resume_keep(rn)
+                        prn = np.asarray(prompts[rn],
+                                         np.int32).reshape(-1)
+                        if rstate is not None:
+                            plan["src_sel"][s] = 1
+                            plan["parked"] = (
+                                rstate, self._serve_ctx(
+                                    prn, prompt_pos=keep),
+                                0, budgets[rn])
+                            plan["parked_rollback"] = keep
+                            resumed_turns += 1
+                        else:
+                            plan["src_sel"][s] = 2
+                            plan["fresh_qpos"][s] = qh_host
+                            plan["fresh_sfx"][s] = (int(prn[pfx_len])
+                                                    if tstate is not None
+                                                    else -1)
+                            plan["fresh_seed"][s] = seed + qh_host
+                            plan["fresh_pos"][s] = pfx_len
+                        lane_np[s] = qh_host
+                        if first_seen[rn] < 0:
+                            admit_round[rn] = rounds
+                            first_seen[rn] = 1
+                        qh_host += 1
+                    (batched, bctx, emitted, lane_budget,
+                     snap) = self._run_boundary(
+                        batched, bctx, emitted, lane_budget, plan,
+                        q_prompts, q_lens, q_budgets)
+                    conversations.put(conversation_ids[r], snap[0],
+                                      outs[r])
+                    # the resumed/fresh lane's RNG key was set by the
+                    # boundary op; parked resume keeps the stored key
+            n_active = sum(1 for l in lane_np if l >= 0)
         total = sum(new_tokens)
-        return outs, {"new_tokens": total, "rounds": rounds,
-                      "per_request": new_tokens,
-                      # per-request latency in rounds, admission->finish
-                      # (admission = slot fill; includes prompt-chain
-                      # prefill rounds)
-                      "latency_rounds": [finish_round[r] - admit_round[r]
-                                         for r in range(n_req)],
-                      "admit_rounds": admit_round,
-                      # per busy lane-round (prompt-chain rounds included,
-                      # so this is a floor on decode acceptance)
-                      "accept_per_round": total / max(busy_slot_rounds, 1),
-                      "slot_utilization": busy_slot_rounds
-                      / max(rounds * b, 1)}
+        stats = {"new_tokens": total, "rounds": rounds,
+                 "per_request": new_tokens,
+                 # per-request latency in rounds, admission->finish
+                 # (admission = slot fill; includes prompt-chain
+                 # prefill rounds)
+                 "latency_rounds": [finish_round[r] - admit_round[r]
+                                    for r in range(n_req)],
+                 "admit_rounds": admit_round,
+                 # per busy lane-round (prompt-chain rounds included,
+                 # so this is a floor on decode acceptance)
+                 "accept_per_round": total / max(busy_slot_rounds, 1),
+                 "slot_utilization": busy_slot_rounds
+                 / max(rounds * b, 1)}
+        if conv_mode:
+            stats["resumed_turns"] = resumed_turns
+        return outs, stats
 
     # ------------------------------------------------------------------
     def serve_stream(self, prompts: Sequence, arrivals_s: Sequence[float],
@@ -772,18 +1174,20 @@ class BatchedSpecEngine(SpecEngine):
                      seed: int = 0, rounds_per_dispatch: int = 8,
                      clock=None, queue_order: str = "fifo",
                      starvation_cap: int | None = None,
-                     shared_prefix=None,
+                     shared_prefix=None, prefix_overlap: bool = True,
                      preempt_factor: float | None = None,
                      on_token=None):
         """Streaming-arrival continuous batching: request r only becomes
         admittable `arrivals_s[r]` seconds after serving starts. Between
         device dispatches the host appends newly-arrived requests to the
-        device-resident queue (the dispatch donates lane state but not the
-        queue arrays) and fills any fully-idle batch; lanes that free up
+        device-resident queue and applies ALL lane surgery for the
+        boundary (admissions, preemption pause/resume) in ONE jitted
+        dispatch (see _get_boundary — the r3 per-lane write/read chain
+        cost ~4-6 tunnel RTTs per admission); lanes that free up
         mid-dispatch pick arrivals up in-program (see _get_serve_scan's
-        idle-lane refill). `rounds_per_dispatch` is therefore the admission
-        granularity — small K admits sooner, large K amortizes dispatch RTT
-        (the tradeoff EngineConfig documents for serve()).
+        idle-lane refill). `rounds_per_dispatch` is therefore the
+        admission granularity — small K admits sooner, large K amortizes
+        dispatch RTT (the tradeoff EngineConfig documents for serve()).
 
         Validates the admission story r2's verdict flagged as unmeasured:
         returns per-request arrival->admission and arrival->completion
@@ -809,23 +1213,42 @@ class BatchedSpecEngine(SpecEngine):
         win when no one waits long. None (default) keeps the pure policy.
 
         `shared_prefix` works as in serve(): the common prefix is
-        prefilled once, every lane (and every in-program refill) resumes
-        from it, and arrivals consume only their suffix.
+        prefilled once and lanes resume from it. With `prefix_overlap`
+        (default on) a COLD template builds in a background thread while
+        the first arrivals are served UN-prefixed — the blocking build
+        measurably cost more than the prefix saved (r3 suite:
+        stream_prefix_on_cold 49.2 tok/s / p50 13.4s vs off 54.2 / 9.8s).
+        Host admissions switch to the template the moment it lands; the
+        in-program refill path switches once every lane has been
+        template-born (a lane that never held the prefix KV rows cannot
+        resume at the prefix watermark). Greedy outputs are identical
+        either way.
 
-        `preempt_factor` enables PREEMPTIVE lane migration: at a host
-        boundary where every lane is busy and a request is pending, the
-        lane with the most remaining budget is PAUSED — its exact engine
-        state (KV, queued pairs, RNG key) is lifted off the lane — when
-        `pending_budget * preempt_factor <= remaining`, and the pending
-        request takes the lane. The paused request resumes, state intact
-        and with priority over new admissions, at the first host boundary
-        with an idle lane; zero tokens are recomputed, so its stream is
-        exactly what it would have produced uninterrupted. At most one
-        request is paused at a time (a snapshot holds a full lane KV
-        allocation). None (default) disables preemption.
+        `preempt_factor` enables PREEMPTIVE lane migration with a COST
+        MODEL (r3 shipped the mechanism without one and lost 35-47%
+        aggregate throughput per preemption). At a boundary where every
+        lane is busy and a request is pending, the lane with the most
+        remaining budget is paused — its exact state lifted off the lane
+        in the same single boundary dispatch that admits the short — iff
+        BOTH: (a) the pending request's budget * preempt_factor <= the
+        victim's remaining budget (the user knob: how much shorter the
+        short must be), and (b) the modeled wait until a lane frees
+        naturally exceeds the short's modeled service time
+        (chain rounds + decode rounds at the measured acceptance rate +
+        OVERHEAD_ROUNDS for the swap dispatches) — preempting a lane that
+        was about to free anyway is pure loss. While a request is paused
+        the device queue is capped at its current head so the next freed
+        lane is RESERVED for the resume (in-program refills would
+        otherwise serialize every pending short ahead of it — the r3
+        lonely-tail regression); the paused request resumes at the next
+        boundary with a free lane, state intact, zero recompute. At most
+        one request is paused at a time (a snapshot holds a full lane KV
+        allocation). Rejected triggers are counted in
+        stats["preempt_cost_skips"].
 
         `on_token(request_index, token)` streams tokens per dispatch as
         in serve()."""
+        import math
         import time as _time
         n_req = len(prompts)
         assert len(arrivals_s) == n_req, (len(arrivals_s), n_req)
@@ -844,16 +1267,34 @@ class BatchedSpecEngine(SpecEngine):
                 "auto prefix detection needs the full workload upfront; "
                 "pass explicit tokens to serve_stream")
         tstate, pfx_len = None, 0
+        pfx_thread, pfx_box = None, {}
         if shared_prefix is not None:
             self._check_shared_prefix(prompts, shared_prefix)
-            tstate, pfx_len = self._prefix_template(shared_prefix, seed)
-        tmpl = self._template_consts(tstate)
+            pkey = np.asarray(shared_prefix,
+                              np.int32).reshape(-1).tobytes()
+            if pkey in self._prefix_templates or not prefix_overlap:
+                tstate, pfx_len = self._prefix_template(shared_prefix,
+                                                        seed)
+            else:
+                # overlap the cold template build with serving (r3
+                # verdict #3): build in a daemon thread (JAX dispatch is
+                # thread-safe; the chip serializes the work), serve the
+                # first arrivals un-prefixed, switch when it lands
+                import threading
+
+                def _build():
+                    try:
+                        pfx_box["t"] = self._prefix_template(
+                            shared_prefix, seed)
+                    except Exception as e:      # re-raised at a boundary
+                        pfx_box["err"] = e
+                pfx_thread = threading.Thread(target=_build, daemon=True)
+                pfx_thread.start()
         # arrival order is the initial queue order (the device consumes the
         # queue front-to-back); non-fifo policies reorder the pending
         # segment at host boundaries below
         order = sorted(range(n_req), key=lambda r: arrivals_s[r])
         self._queue_schedule([], [], queue_order)    # validate policy name
-        scan_k = self._get_serve_scan(k)
         outs: List[list] = [list(np.asarray(p, np.int64)) for p in prompts]
         new_tokens = [0] * n_req
         finished = [False] * n_req
@@ -887,30 +1328,35 @@ class BatchedSpecEngine(SpecEngine):
 
         t0 = _time.perf_counter()
         now = (lambda: _time.perf_counter() - t0) if clock is None else clock
-        ctxs = [self._serve_ctx(None) for _ in range(b)]
         if tstate is None:
             batched = self._stack_states(
                 [self.init_state(seed + 1000 + s) for s in range(b)])
         else:
             batched = self._lanes_from_template(
                 tstate, [-1] * b, [seed + 1000 + s for s in range(b)])
-        bctx = self._stack_states(ctxs)
-        lane_req = jnp.full((b,), -1, jnp.int32)   # values index `order`
+        bctx = self._stack_states(
+            [self._serve_ctx(None) for _ in range(b)])
         emitted = jnp.zeros((b,), jnp.int32)
         lane_budget = jnp.full((b,), 2 ** 30, jnp.int32)
-        qhead = jnp.asarray(0, jnp.int32)
+        lane_np = [-1] * b           # host mirror: values index `order`
+        em_np = [0] * b
+        bud_np = [2 ** 30] * b
+        born = [tstate is not None] * b   # lane KV holds the prefix rows
+        qh_host = 0
 
         rounds = 0
         busy_slot_rounds = 0
-        paused = {}     # qpos -> (EngineState, ServeCtx, emitted) snapshots
+        # parked: (state, ctx, em, bud, qpos, born) — at most one
+        parked = None
         preemptions = 0
+        cost_skips = 0
         while not all(finished):
             t = now()
             n_arrived = sum(1 for r in order if arrivals_s[r] <= t)
-            # all lanes idle, nothing paused, nothing arrived yet: wait for
+            # all lanes idle, nothing parked, nothing arrived yet: wait for
             # the next arrival instead of spinning empty dispatches
-            if (not paused and n_arrived <= int(qhead)
-                    and not np.any(np.asarray(lane_req) >= 0)):
+            if (parked is None and n_arrived <= qh_host
+                    and all(l < 0 for l in lane_np)):
                 nxt = min((arrivals_s[r] for r in order
                            if arrivals_s[r] > t), default=None)
                 if nxt is None:
@@ -919,12 +1365,11 @@ class BatchedSpecEngine(SpecEngine):
                     _time.sleep(max(0.0, nxt - now()))
                 continue
             # admission-aware budget scheduling: reorder the pending
-            # (arrived, position >= qhead) queue segment by policy; future
-            # arrivals keep arrival order behind it
-            qh0 = int(qhead)
-            if queue_order != "fifo" and n_arrived > qh0:
-                pend = [r for r in order[qh0:] if arrivals_s[r] <= t]
-                fut = [r for r in order[qh0:] if arrivals_s[r] > t]
+            # (arrived, position >= qh_host) queue segment by policy;
+            # future arrivals keep arrival order behind it
+            if queue_order != "fifo" and n_arrived > qh_host:
+                pend = [r for r in order[qh_host:] if arrivals_s[r] <= t]
+                fut = [r for r in order[qh_host:] if arrivals_s[r] > t]
                 if starvation_cap is not None:
                     promoted = [r for r in pend
                                 if bypass_count[r] >= starvation_cap]
@@ -942,84 +1387,137 @@ class BatchedSpecEngine(SpecEngine):
                 else:
                     sched = self._queue_schedule(pend, budgets, queue_order)
                 new_tail = sched + fut
-                if new_tail != order[qh0:]:
-                    order[qh0:] = new_tail
-                    q_prompts, q_lens, q_budgets = _write_queue_rows(qh0)
-            lane_np = np.array(lane_req)       # writable copy
-            qh = int(qhead)
-            # preemption: every lane busy, work pending, nothing paused yet
-            # -> pause the lane with the most remaining budget if the head
-            # pending request is preempt_factor-times shorter
-            fresh_pause = None
-            if (preempt_factor is not None and not paused
-                    and qh < n_arrived and np.all(lane_np >= 0)):
-                em_np = np.asarray(emitted)
-                bud_np = np.asarray(lane_budget)
-                remaining = bud_np - em_np
-                v = int(np.argmax(remaining))
-                p_next = order[qh]
-                if budgets[p_next] * preempt_factor <= remaining[v]:
-                    fresh_pause = int(lane_np[v])
-                    paused[fresh_pause] = (
-                        self._read_slot(batched, v),
-                        self._read_slot(bctx, v), int(em_np[v]))
-                    lane_np[v] = -1
-                    preemptions += 1
-            # host fill: idle lanes resume paused requests first (their
-            # state is restored exactly — zero recompute), then take
-            # arrived queue entries (the device path needs >= 1 active
-            # lane to run rounds)
+                if new_tail != order[qh_host:]:
+                    order[qh_host:] = new_tail
+                    q_prompts, q_lens, q_budgets = _write_queue_rows(
+                        qh_host)
+            # cold prefix template landed?
+            if pfx_thread is not None and not pfx_thread.is_alive():
+                pfx_thread.join()
+                if "err" in pfx_box:
+                    raise pfx_box["err"]
+                tstate, pfx_len = pfx_box["t"]
+                pfx_thread = None
+
+            # ---- boundary plan: ONE fused dispatch for all surgery ----
+            use_tpl = tstate is not None
+            src_sel = [0] * b
+            fresh_qpos, fresh_sfx = [-1] * b, [-1] * b
+            fresh_seed, fresh_pos = [0] * b, [0] * b
+            pause_idx, plan_parked, parked_meta = -1, None, None
+            changed = False
+            if parked is not None:
+                free = [s for s in range(b) if lane_np[s] == -1]
+                if free:
+                    s = free[0]
+                    src_sel[s] = 1
+                    plan_parked = parked[:4]
+                    lane_np[s], em_np[s], bud_np[s] = (
+                        parked[4], parked[2], parked[3])
+                    born[s] = parked[5]
+                    parked = None
+                    changed = True
             for s in range(b):
-                if lane_np[s] >= 0:
+                if lane_np[s] != -1 or qh_host >= n_arrived:
                     continue
-                resumable = sorted(q_ for q_ in paused if q_ != fresh_pause)
-                if resumable:
-                    qpos = resumable[0]
-                    st, ctx, em = paused.pop(qpos)
-                    batched = self._write_slot(batched, st, s)
-                    bctx = self._write_slot(bctx, ctx, s)
-                    lane_np[s] = qpos
-                    emitted = emitted.at[s].set(em)
-                    lane_budget = lane_budget.at[s].set(
-                        budgets[order[qpos]])
-                elif qh < n_arrived:
-                    r = order[qh]
-                    # PRNG keyed by QUEUE POSITION (seed + qh), matching the
-                    # in-program device refill (jax.random.key(seed + qidx))
-                    # and serve()'s host fill — keying by request id made a
-                    # stochastic stream depend on which path admitted it and
-                    # could collide with a position-keyed lane (advisor r3)
-                    if tstate is None:
-                        st = self.init_state(seed + qh)
-                    else:
+                r = order[qh_host]
+                pr = np.asarray(prompts[r], np.int32).reshape(-1)
+                src_sel[s] = 2
+                fresh_qpos[s] = qh_host
+                fresh_sfx[s] = int(pr[pfx_len]) if use_tpl else -1
+                fresh_seed[s] = seed + qh_host
+                fresh_pos[s] = pfx_len if use_tpl else 0
+                born[s] = use_tpl
+                lane_np[s], em_np[s], bud_np[s] = qh_host, 0, budgets[r]
+                qh_host += 1
+                changed = True
+            # preemption: every lane busy, work pending, nothing parked,
+            # trigger + cost model both pass
+            if (preempt_factor is not None and parked is None
+                    and qh_host < n_arrived
+                    and all(l >= 0 for l in lane_np)):
+                accept_est = max(
+                    sum(new_tokens) / busy_slot_rounds, 0.5) \
+                    if busy_slot_rounds else 1.0
+                remaining = [bud_np[s] - em_np[s] for s in range(b)]
+                v = int(np.argmax(remaining))
+                r = order[qh_host]
+                suffix = max(len(np.asarray(prompts[r]).reshape(-1))
+                             - (pfx_len if use_tpl else 0), 1)
+                d_cap = self.cfg.tree.depth_cap
+                service = (math.ceil(suffix / d_cap)
+                           + math.ceil(budgets[r] / accept_est)
+                           + OVERHEAD_ROUNDS)
+                rounds_to_free = min(remaining) / accept_est
+                if budgets[r] * preempt_factor <= remaining[v]:
+                    if rounds_to_free > service:
+                        pause_idx = v
+                        parked_meta = (lane_np[v], em_np[v], bud_np[v],
+                                       born[v])
                         pr = np.asarray(prompts[r], np.int32).reshape(-1)
-                        st = self._lane_from_template(
-                            tstate, int(pr[pfx_len]), seed + qh)
-                    batched = self._write_slot(batched, st, s)
-                    bctx = self._write_slot(bctx, self._serve_ctx(
-                        prompts[r], prompt_pos=pfx_len), s)
-                    lane_np[s] = qh
-                    emitted = emitted.at[s].set(0)
-                    lane_budget = lane_budget.at[s].set(budgets[r])
-                    qh += 1
-            lane_req = jnp.asarray(lane_np)
-            qhead = jnp.asarray(qh, jnp.int32)
-            for qpos in range(qh):
+                        src_sel[v] = 2
+                        fresh_qpos[v] = qh_host
+                        fresh_sfx[v] = int(pr[pfx_len]) if use_tpl else -1
+                        fresh_seed[v] = seed + qh_host
+                        fresh_pos[v] = pfx_len if use_tpl else 0
+                        born[v] = use_tpl
+                        lane_np[v], em_np[v], bud_np[v] = (
+                            qh_host, 0, budgets[r])
+                        qh_host += 1
+                        preemptions += 1
+                        changed = True
+                    else:
+                        cost_skips += 1
+            if changed:
+                (batched, bctx, emitted, lane_budget,
+                 snap) = self._run_boundary(
+                    batched, bctx, emitted, lane_budget,
+                    dict(src_sel=src_sel, fresh_qpos=fresh_qpos,
+                         fresh_sfx=fresh_sfx, fresh_seed=fresh_seed,
+                         fresh_pos=fresh_pos, pause_idx=pause_idx,
+                         parked=plan_parked,
+                         tstate=tstate if use_tpl else None),
+                    q_prompts, q_lens, q_budgets)
+                if snap is not None:
+                    parked = (snap[0], snap[1], parked_meta[1],
+                              parked_meta[2], parked_meta[0],
+                              parked_meta[3])
+            for qpos in range(qh_host):
                 r = order[qpos]
                 if admit_round[r] < 0:
                     admit_round[r] = rounds
                     admit_s[r] = now()
 
+            # while parked, the device queue is capped at the current head
+            # so freed lanes are reserved for the resume
+            n_q_pass = qh_host if parked is not None else n_arrived
+            n_active = sum(1 for l in lane_np if l >= 0)
+            scan_k = self._get_serve_scan(k, self._serve_tree(n_active))
+            all_born = use_tpl and all(born)
+            tmpl = self._template_consts(tstate if all_born else None)
+            pre_lane = list(lane_np)
             (batched, bctx, lane_req, emitted, lane_budget, qhead,
              packed) = scan_k(
                 batched, self.params, self.draft, self.beam_head, bctx,
-                lane_req, emitted, lane_budget, qhead,
+                jnp.asarray(lane_np, jnp.int32), emitted, lane_budget,
+                jnp.asarray(qh_host, jnp.int32),
                 q_prompts, q_lens, q_budgets,
-                jnp.asarray(n_arrived, jnp.int32),
+                jnp.asarray(n_q_pass, jnp.int32),
                 jnp.asarray(eos_token_id, jnp.int32),
-                jnp.asarray(seed, jnp.int32), *tmpl)
-            packed = np.asarray(packed)
+                jnp.asarray(seed, jnp.int32),
+                jnp.asarray(False), *tmpl)
+            packed = np.asarray(packed)          # ONE device->host fetch
             n_exec = int(packed[-1, 0, 0])
+            lane_np = [int(x) for x in packed[-1, :, 1]]
+            em_np = [int(x) for x in packed[-1, :, 2]]
+            bud_np = [int(x) for x in packed[-1, :, 3]]
+            qh_host = int(packed[-1, 0, 4])
+            if not all_born:
+                # in-program refills ran with the zero template: any lane
+                # the device touched no longer holds the prefix rows
+                for s in range(b):
+                    if lane_np[s] != pre_lane[s]:
+                        born[s] = False
             accs = packed[:-1, :, :-2]
             naccs = packed[:-1, :, -2]
             reqs = packed[:-1, :, -1]
@@ -1064,6 +1562,7 @@ class BatchedSpecEngine(SpecEngine):
             "admission_s": lat_admit,
             "completion_s": lat_total,
             "preemptions": preemptions,
+            "preempt_cost_skips": cost_skips,
             "accept_per_round": total / max(busy_slot_rounds, 1),
             "admission_p50_s": q(lat_admit, 50),
             "admission_p95_s": q(lat_admit, 95),

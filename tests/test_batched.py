@@ -503,3 +503,158 @@ def test_serve_stream_arrivals():
     assert all(a >= 0 for a in stats["admission_s"])
     assert stats["completion_p95_s"] >= stats["completion_p50_s"] > 0
     assert all(lr > 0 for lr in stats["latency_rounds"])
+
+
+def test_serve_dynamic_tree_lossless_across_variant_switches():
+    """dynamic_tree keys each dispatch's tree size on the live active-lane
+    count. Greedy outputs are tree-size-invariant, so a workload that
+    drains from 3 active lanes down to 1 (switching variants mid-stream)
+    must still emit exactly the solo AR streams."""
+    mc = ModelConfig.tiny(vocab_size=16, n_layers=2)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    tc = TreeConfig(top_k=6, depth=3, total_tokens=60, expand_tokens=12,
+                    expand_depth=2, node_cap=64, leaf_cap=64, depth_cap=10,
+                    chunk_len=8)
+    cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                       max_seq_len=160, prefill_chunk=16)
+    p = init_llama_params(jax.random.key(0), mc, dtype=jnp.float32)
+    d = init_eagle_params(jax.random.key(9), mc, embed=p.embed,
+                          dtype=jnp.float32)
+    eng = BatchedSpecEngine(p, d, cfg, batch_size=3, dynamic_tree=True)
+    # full tree retained for allocation + the B=1 variant
+    assert eng.cfg.tree.total_tokens == 60
+    assert eng._tree_variants[3].total_tokens == 47
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(3, 14, 5).tolist() for _ in range(3)]
+    budgets = [24, 6, 4]    # staggered finishes force variant switches
+    refs = [eng.generate_ar(pr, max_new_tokens=m, eos_token_id=-1)[0]
+            for pr, m in zip(prompts, budgets)]
+    outs, stats = eng.serve(prompts, max_new_tokens=budgets,
+                            eos_token_id=-1, rounds_per_dispatch=2)
+    assert outs == refs
+    # more than one variant program actually ran
+    keys = {k_ for k_ in eng._serve_scans}
+    assert len(keys) >= 2, keys
+
+
+def test_serve_multiturn_conversation_resume_matches_solo():
+    """Multi-turn serving: turn 2 resumes each conversation from its
+    stored lane snapshot (KV rolled back to the common token prefix) and
+    must emit exactly what the solo resume path emits."""
+    from flowspec_tpu.runtime.batched import ConversationStore
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(11)
+    t1 = [rng.integers(3, 14, 6).tolist() for _ in range(3)]
+    store = ConversationStore()
+    outs1, stats1 = eng.serve(t1, max_new_tokens=5, eos_token_id=-1,
+                              rounds_per_dispatch=4,
+                              conversations=store,
+                              conversation_ids=["a", "b", "c"])
+    assert len(store) == 3
+    # turn 2: conversation so far + a new user turn
+    extras = [rng.integers(3, 14, 4).tolist() for _ in range(3)]
+    t2 = [[int(x) for x in outs1[i]] + extras[i] for i in range(3)]
+    outs2, stats2 = eng.serve(t2, max_new_tokens=5, eos_token_id=-1,
+                              rounds_per_dispatch=4,
+                              conversations=store,
+                              conversation_ids=["a", "b", "c"])
+    assert stats2["resumed_turns"] == 3, stats2
+    # solo reference: fresh generate over the full turn-2 prompt
+    for i in range(3):
+        ref, _ = eng.generate(t2[i], max_new_tokens=5, eos_token_id=-1)
+        assert outs2[i] == ref, (i, outs2[i], ref)
+    # TTFT cut: resumed turn-2 admission->finish spans fewer rounds than
+    # a full re-prefill would need (chain is ~len(prompt)/depth_cap
+    # rounds; resumed lanes chain only the new turn)
+    d_cap = eng.cfg.tree.depth_cap
+    full_chain = -(-min(len(t) for t in t2) // d_cap)
+    assert min(stats2["latency_rounds"]) < full_chain + 5, stats2
+
+
+def test_serve_stream_prefix_overlap_cold_lossless():
+    """Cold shared-prefix streaming with prefix_overlap: the template
+    builds in a background thread while early arrivals are served
+    un-prefixed; outputs must equal the solo AR runs and the template
+    must land in the cross-call cache."""
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(13)
+    prefix = rng.integers(3, 14, 12).tolist()
+    prompts = [prefix + rng.integers(3, 14, 3).tolist() for _ in range(4)]
+    refs = [eng.generate_ar(pr, max_new_tokens=4, eos_token_id=-1)[0]
+            for pr in prompts]
+    state = {"t": 0.0}
+
+    def clock():
+        state["t"] += 0.02
+        return state["t"]
+    assert np.asarray(prefix, np.int32).tobytes() \
+        not in eng._prefix_templates
+    outs, stats = eng.serve_stream(
+        prompts, [0.0, 0.05, 0.3, 0.5], max_new_tokens=4, eos_token_id=-1,
+        rounds_per_dispatch=1, clock=clock, shared_prefix=prefix,
+        prefix_overlap=True)
+    assert outs == refs
+    assert np.asarray(prefix, np.int32).tobytes() in eng._prefix_templates
+
+
+def test_serve_stream_preemption_cost_gate_skips_futile_pause():
+    """The preemption cost model: when the busy lane will free about as
+    soon as the pending short could finish anyway, the trigger fires but
+    the gate refuses — no preemption, a cost-skip is counted, and both
+    streams stay correct."""
+    eng = _setup(batch_size=1)
+    rng = np.random.default_rng(47)
+    prompts = [rng.integers(3, 14, 6).tolist() for _ in range(2)]
+    budgets = [4, 2]     # long is nearly done when the short arrives
+    refs = [eng.generate_ar(p, max_new_tokens=m, eos_token_id=-1)[0]
+            for p, m in zip(prompts, budgets)]
+    state = {"t": 0.0}
+
+    def clock():
+        state["t"] += 0.05
+        return state["t"]
+    outs, stats = eng.serve_stream(
+        prompts, [0.0, 0.1], max_new_tokens=budgets, eos_token_id=-1,
+        rounds_per_dispatch=1, clock=clock, preempt_factor=2.0)
+    assert outs == refs
+    assert stats["preemptions"] == 0, stats
+    assert stats["preempt_cost_skips"] >= 1, stats
+
+
+def test_serve_stochastic_first_token_distribution():
+    """Stochastic LAW through the serve path: at T=1 the first token each
+    request emits is a categorical sample from the base model's true
+    next-token distribution (rejection sampling is lossless in law). 600
+    identical prompts stream through 2 lanes — host admissions and
+    in-program device refills both — and the empirical first-token
+    distribution must match softmax(base logits) in total variation.
+    Also pins the advisor-r3 seeding fix: every queue position gets its
+    own PRNG key, so identical prompts must NOT produce identical
+    streams."""
+    mc = ModelConfig.tiny(vocab_size=16, n_layers=2)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    tc = TreeConfig(top_k=4, depth=3, total_tokens=12, expand_tokens=8,
+                    expand_depth=2, node_cap=16, leaf_cap=16, depth_cap=8,
+                    chunk_len=8)
+    cfg = EngineConfig(model=mc, tree=tc,
+                       sampling=SamplingConfig(temperature=1.0),
+                       max_seq_len=64, prefill_chunk=16)
+    p = init_llama_params(jax.random.key(0), mc, dtype=jnp.float32)
+    d = init_eagle_params(jax.random.key(9), mc, embed=p.embed,
+                          dtype=jnp.float32)
+    eng = BatchedSpecEngine(p, d, cfg, batch_size=2, adapt_tree=False)
+    prompt = [5, 9, 3, 7, 4, 11]
+    n = 600
+    outs, _ = eng.serve([prompt] * n, max_new_tokens=1, eos_token_id=-1,
+                        rounds_per_dispatch=64, seed=123)
+    firsts = np.array([o[len(prompt)] for o in outs])
+    # exact reference distribution from the base model's logits
+    st = eng.init_state(0)
+    _, last_logits = eng._prefill_chunks(st, prompt)
+    p_ref = np.asarray(jax.nn.softmax(
+        jnp.asarray(last_logits, jnp.float32)))
+    emp = np.bincount(firsts, minlength=mc.vocab_size) / n
+    tv = 0.5 * np.abs(emp - p_ref).sum()
+    assert tv < 0.15, (tv, emp.round(3).tolist(), p_ref.round(3).tolist())
+    # distinct queue positions -> distinct keys -> not all streams equal
+    assert len(set(firsts.tolist())) > 1

@@ -230,3 +230,45 @@ def test_profiler_memory_context():
     assert "both" in p.summary()
     p.reset()
     assert p.memory == {}
+
+
+def test_run_eval_serve_multiturn_resumes_conversations():
+    """run_eval_serve(max_turns=2) serves every question's turn 1, stores
+    per-conversation lane snapshots, then serves turn 2 with KV resume —
+    one row per turn, turn-2 row records the resumed count and spends
+    fewer admission->finish rounds than a full re-prefill would."""
+    import jax
+    import jax.numpy as jnp
+    from flowspec_tpu.config import (
+        EngineConfig, ModelConfig, SamplingConfig, TreeConfig)
+    from flowspec_tpu.draft.eagle import init_eagle_params
+    from flowspec_tpu.models.llama import init_llama_params
+    from flowspec_tpu.eval.harness import run_eval_serve
+
+    mc = ModelConfig.tiny(vocab_size=512, n_layers=2)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    tc = TreeConfig(top_k=4, depth=3, total_tokens=12, node_cap=16,
+                    leaf_cap=16, depth_cap=8)
+    cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                       max_seq_len=768, prefill_chunk=16)
+    p = init_llama_params(jax.random.key(0), mc, dtype=jnp.float32)
+    d = init_eagle_params(jax.random.key(9), mc, embed=p.embed,
+                          dtype=jnp.float32)
+    from flowspec_tpu.runtime.batched import BatchedSpecEngine
+    eng = BatchedSpecEngine(p, d, cfg, batch_size=2, adapt_tree=False)
+
+    tok = lambda s: [3 + (b % 500) for b in s.encode()][:200]
+    detok = lambda ts: bytes(int(max(0, t - 3)) % 256
+                             for t in ts).decode("latin-1")
+    qs = [{"turns": ["hi there", "more please"]},
+          {"turns": ["hello you", "go on"]},
+          {"turns": ["hey world", "and then"]}]
+    rows = run_eval_serve(eng, tok, qs, max_new_tokens=6,
+                          max_turns=2, detokenize=detok, warmup=False)
+    assert len(rows) == 2
+    assert rows[0]["turn"] == 1 and rows[1]["turn"] == 2
+    assert rows[1]["resumed"] == 3, rows[1]
+    # turn-2 prompts are ~2x longer, but resumed lanes chain only the new
+    # turn: its p50 latency must not balloon with conversation length
+    assert rows[1]["latency_rounds_p50"] <= \
+        rows[0]["latency_rounds_p50"] + 4, rows

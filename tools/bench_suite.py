@@ -24,11 +24,11 @@ import numpy as np
 
 MODEL = os.environ.get("SUITE_MODEL", "7b")
 OUT = os.environ.get("SUITE_OUT", os.path.join(_ROOT,
-                                               "BENCH_SUITE_r03.jsonl"))
+                                               "BENCH_SUITE_r04.jsonl"))
 ALL_MODES = ("spec_trained", "spec_random", "ar", "t1_trained",
              "serve4", "batch4", "stream", "longgen", "serve_sched",
              "serve_prefix", "stream_prefix", "stream_preempt",
-             "serve_tree_ab")
+             "serve_tree_ab", "stream_dyntree", "serve_multiturn")
 SB = int(os.environ.get("SUITE_BATCH", "4"))
 MODES = [m for m in os.environ.get("SUITE_MODES",
                                    ",".join(ALL_MODES)).split(",") if m]
@@ -63,11 +63,19 @@ def main():
     from flowspec_tpu.runtime.engine import SpecEngine
     from flowspec_tpu.runtime.batched import BatchedSpecEngine
 
+    struct_parts = None
     if MODEL == "tiny":        # CPU smoke of the suite itself
         jax.config.update("jax_platforms", "cpu")
         mc, quant = ModelConfig.tiny(), "none"
     elif MODEL == "7b":
         mc, quant = ModelConfig.llama_7b(), "int8"
+    elif MODEL == "struct":
+        # the TRAINED ~0.5B structured base (r4: the whole serving matrix
+        # on real dynamics with a learned draft — r3 verdict #1). bf16;
+        # SUITE_QUANT=int8 optionally quantizes it.
+        from bench import build_struct_params
+        struct_parts = build_struct_params()
+        mc, quant = struct_parts[0], os.environ.get("SUITE_QUANT", "none")
     else:
         mc, quant = ModelConfig.llama_13b(), "mixed"
     n_tokens = 256 if MODEL != "tiny" else 32
@@ -91,15 +99,27 @@ def main():
 
     print(f"building {quant} {MODEL} base...", flush=True)
     t0 = time.time()
-    params, rnd_draft = build_params(mc, quant)
+    if struct_parts is not None:
+        from flowspec_tpu.draft.eagle import init_eagle_params
+        _, params, trained = struct_parts
+        rnd_draft = init_eagle_params(jax.random.key(1), mc,
+                                      embed=params.embed)
+        if quant != "none":
+            from flowspec_tpu.models.llama import quantize_llama_params
+            params = quantize_llama_params(params, quant)
+            qd = "int8" if quant == "mixed" else quant
+            trained = quantize_eagle_params(trained, qd)
+            rnd_draft = quantize_eagle_params(rnd_draft, qd)
+    else:
+        params, rnd_draft = build_params(mc, quant)
+        ckpt = os.path.join(_ROOT, "checkpoints",
+                            f"draft_{MODEL}_thin_fp16.npz")
+        trained = None
+        if os.path.exists(ckpt):
+            trained = quantize_eagle_params(
+                load_thin_draft(ckpt, params.embed),
+                "int8" if quant == "mixed" else quant)
     print(f"built in {time.time()-t0:.0f}s", flush=True)
-    ckpt = os.path.join(_ROOT, "checkpoints",
-                        f"draft_{MODEL}_thin_fp16.npz")
-    trained = None
-    if os.path.exists(ckpt):
-        trained = quantize_eagle_params(
-            load_thin_draft(ckpt, params.embed),
-            "int8" if quant == "mixed" else quant)
 
     rng0 = np.random.default_rng(0)
     prompt = rng0.integers(10, 1000, 64)
@@ -352,17 +372,117 @@ def main():
                                    else "stream_preempt_off"),
                           "tok_s": round(stats["new_tokens"] / dt, 2),
                           "preemptions": stats["preemptions"],
+                          "preempt_cost_skips":
+                              stats.get("preempt_cost_skips", 0),
                           "short_completion_p50_s": round(p50(cs[4:]), 3),
                           "long_completion_p50_s": round(p50(cs[:4]), 3),
                           "budgets": "256x4+16x4@0.3s",
                           "draft": "trained" if trained else "random"})
+            elif mode == "stream_dyntree":
+                # dynamic-tree A/B under streaming arrivals at utilization
+                # < 0.85 (r3 verdict #4): with idle lanes, the per-dispatch
+                # variant picks the bigger per-lane trees the B=1/2
+                # measurements prefer. Sparse arrivals keep lanes half-idle.
+                d = trained or rnd_draft
+                prompts = [rng0.integers(10, 1000, 64) for _ in range(8)]
+                gaps = np.random.default_rng(5).exponential(0.6,
+                                                            len(prompts))
+                gaps[0] = 0
+                arr = np.cumsum(gaps).tolist()
+                for dyn in (False, True):
+                    eng = BatchedSpecEngine(
+                        params, d,
+                        cfg_of(mseq=int(os.environ.get("SUITE_MSEQ",
+                                                       "384")),
+                               tuned=trained is not None),
+                        batch_size=sb, dynamic_tree=dyn)
+                    # warm EVERY variant program: staggered budgets drain
+                    # the batch through all active-lane counts (a variant
+                    # compiling inside the timed run would charge compile
+                    # time to the ON arm)
+                    eng.serve_stream(prompts[:sb],
+                                     [0.0] * sb,
+                                     max_new_tokens=[8 * (i + 1)
+                                                     for i in range(sb)],
+                                     eos_token_id=-1,
+                                     rounds_per_dispatch=8)
+                    t0 = time.perf_counter()
+                    outs, stats = eng.serve_stream(
+                        prompts, arr, max_new_tokens=128, eos_token_id=-1,
+                        rounds_per_dispatch=8)
+                    dt = time.perf_counter() - t0
+                    emit({"mode": ("stream_dyntree_on" if dyn
+                                   else "stream_dyntree_off"),
+                          "tok_s": round(stats["new_tokens"] / dt, 2),
+                          "accept_per_round": round(
+                              stats["accept_per_round"], 3),
+                          "completion_p50_s": round(
+                              stats["completion_p50_s"], 3),
+                          "slot_utilization": round(
+                              stats["slot_utilization"], 3),
+                          "draft": "trained" if trained else "random"})
+            elif mode == "serve_multiturn":
+                # multi-turn conversation serving (r3 verdict #6): turn 2
+                # resumes every conversation's KV from its stored lane
+                # snapshot and chain-prefills only the new turn; the A/B
+                # is against re-serving the full turn-2 prompts cold.
+                from flowspec_tpu.runtime.batched import ConversationStore
+                d = trained or rnd_draft
+                eng = BatchedSpecEngine(params, d,
+                                        cfg_of(mseq=512,
+                                               tuned=trained is not None),
+                                        batch_size=sb)
+                n_c = 8
+                t1 = [rng0.integers(10, 1000, 64).tolist()
+                      for _ in range(n_c)]
+                store = ConversationStore(max_items=n_c)
+                ids = list(range(n_c))
+                eng.serve(t1[:2], max_new_tokens=8, eos_token_id=-1,
+                          rounds_per_dispatch=16,
+                          conversations=ConversationStore(max_items=2),
+                          conversation_ids=[-1, -2])   # warm the compiles
+                t0 = time.perf_counter()
+                outs1, st1 = eng.serve(t1, max_new_tokens=64,
+                                       eos_token_id=-1,
+                                       rounds_per_dispatch=16,
+                                       conversations=store,
+                                       conversation_ids=ids)
+                dt1 = time.perf_counter() - t0
+                t2 = [[int(x) for x in o]
+                      + rng0.integers(10, 1000, 16).tolist()
+                      for o in outs1]
+                for tag, kw in (("resumed", dict(conversations=store,
+                                                 conversation_ids=ids)),
+                                ("cold", {})):
+                    t0 = time.perf_counter()
+                    outs2, st2 = eng.serve(t2, max_new_tokens=64,
+                                           eos_token_id=-1,
+                                           rounds_per_dispatch=16, **kw)
+                    dt2 = time.perf_counter() - t0
+                    lr = sorted(st2["latency_rounds"])
+                    emit({"mode": f"serve_turn2_{tag}",
+                          "tok_s": round(st2["new_tokens"] / dt2, 2),
+                          "rounds": st2["rounds"],
+                          "latency_rounds_p50": int(lr[len(lr) // 2]),
+                          "resumed_turns": st2.get("resumed_turns", 0),
+                          "turn1_tok_s": round(st1["new_tokens"] / dt1, 2),
+                          "draft": "trained" if trained else "random"})
             elif mode == "longgen":
+                # SUITE_LONG_TOKENS/SUITE_LONG_MSEQ right-size for memory:
+                # 13B mixed OOMed the r3 defaults (2048 tok / 2560-row KV
+                # beside 9GB of weights — BENCH_SUITE_r03 rows 18-19);
+                # 1024/1408 fits and still exercises bucket growth +
+                # blocked attention
+                lt = int(os.environ.get("SUITE_LONG_TOKENS", "2048"))
+                lm = int(os.environ.get("SUITE_LONG_MSEQ", "2560"))
                 d = trained or rnd_draft
                 eng = SpecEngine(params, d, cfg_of(
-                    max_new=2048, mseq=2560, buckets=(640, 1280),
+                    max_new=lt, mseq=lm,
+                    buckets=(640, 1280) if lm > 1280 else (640,),
                     tuned=trained is not None))
-                tps, stats = timed(eng.generate_fused, prompt, 2048)
+                tps, stats = timed(eng.generate_fused, prompt, lt)
                 emit({"mode": mode, "tok_s": round(tps, 2),
+                      "tokens": lt,
                       "accept_per_round": round(
                           stats.get("accept_per_round") or 0, 3),
                       "dyn_attn": "width-gated default",
