@@ -1433,14 +1433,18 @@ class BatchedSpecEngine(SpecEngine):
                 changed = True
             # preemption: every lane busy, work pending, nothing parked,
             # trigger + cost model both pass
+            victims = [s for s in range(b) if src_sel[s] == 0]
             if (preempt_factor is not None and parked is None
-                    and qh_host < n_arrived
+                    and qh_host < n_arrived and victims
                     and all(l >= 0 for l in lane_np)):
                 accept_est = max(
                     sum(new_tokens) / busy_slot_rounds, 0.5) \
                     if busy_slot_rounds else 1.0
                 remaining = [bud_np[s] - em_np[s] for s in range(b)]
-                v = int(np.argmax(remaining))
+                # only lanes untouched by this boundary are eligible: a
+                # lane being resumed/filled this very call would snapshot
+                # its STALE pre-boundary content
+                v = max(victims, key=lambda s: remaining[s])
                 r = order[qh_host]
                 suffix = max(len(np.asarray(prompts[r]).reshape(-1))
                              - (pfx_len if use_tpl else 0), 1)

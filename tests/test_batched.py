@@ -658,3 +658,33 @@ def test_serve_stochastic_first_token_distribution():
     assert tv < 0.15, (tv, emp.round(3).tolist(), p_ref.round(3).tolist())
     # distinct queue positions -> distinct keys -> not all streams equal
     assert len(set(firsts.tolist())) > 1
+
+
+def test_serve_stream_preemption_round_robin_lossless():
+    """Multiple shorts preempt a pool of longs in sequence: the freed lane
+    is RESERVED for the parked long (the device queue is capped while one
+    is parked), so each pause defers only one short's service instead of
+    serializing every pending short ahead of the long. All four streams
+    must equal their solo AR runs and at least two pauses must fire; a
+    lane resumed at a boundary must never be the same boundary's victim
+    (stale-snapshot guard)."""
+    eng = _setup(batch_size=2)
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(3, 14, 6).tolist() for _ in range(4)]
+    budgets = [40, 40, 2, 2]
+    arrivals = [0.0, 0.0, 0.3, 0.35]
+    refs = [eng.generate_ar(p, max_new_tokens=m, eos_token_id=-1)[0]
+            for p, m in zip(prompts, budgets)]
+    state = {"t": 0.0}
+
+    def clock():
+        state["t"] += 0.05
+        return state["t"]
+    outs, stats = eng.serve_stream(
+        prompts, arrivals, max_new_tokens=budgets, eos_token_id=-1,
+        rounds_per_dispatch=1, clock=clock, preempt_factor=2.0)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert o == r, (i, o, r)
+    assert stats["preemptions"] >= 2, stats
+    cs = stats["completion_s"]
+    assert max(cs[2:]) < min(cs[:2]), cs   # shorts finish before longs
