@@ -68,7 +68,8 @@ def build_engine(args, mc, tc, params, draft, temperature: float):
         # one (advisor r3). A sweep must run exactly the config it reports.
         return BatchedSpecEngine(params, draft, cfg,
                                  batch_size=args.serve_slots,
-                                 adapt_tree=False)
+                                 adapt_tree=False,
+                                 dynamic_tree=args.dynamic_tree)
     from flowspec_tpu.runtime import SpecEngine
     return SpecEngine(params, draft, cfg)
 
@@ -83,6 +84,9 @@ def main(argv=None):
                     choices=["single", "pipeline", "tp", "serve"])
     ap.add_argument("--serve-slots", type=int, default=4,
                     help="serve engine: concurrent decode slots")
+    ap.add_argument("--dynamic-tree", action="store_true",
+                    help="serve engine: per-dispatch tree variants keyed "
+                         "on the live active-lane count")
     ap.add_argument("--queue-order", default="fifo",
                     choices=["fifo", "sjf", "lpt"],
                     help="serve engine: admission policy")
