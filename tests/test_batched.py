@@ -688,3 +688,16 @@ def test_serve_stream_preemption_round_robin_lossless():
     assert stats["preemptions"] >= 2, stats
     cs = stats["completion_s"]
     assert max(cs[2:]) < min(cs[:2]), cs   # shorts finish before longs
+
+
+def test_conversation_store_lru_eviction():
+    """The store holds full lane KV snapshots, so it is LRU-capped; a get
+    refreshes recency and puts evict the oldest entry."""
+    from flowspec_tpu.runtime.batched import ConversationStore
+    st = ConversationStore(max_items=2)
+    st.put("a", "SA", [1, 2])
+    st.put("b", "SB", [3])
+    assert st.get("a")["history"] == [1, 2]   # refresh "a"
+    st.put("c", "SC", [4])                     # evicts "b" (oldest)
+    assert "b" not in st and "a" in st and "c" in st
+    assert len(st) == 2 and st.get("b") is None
