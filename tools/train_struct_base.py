@@ -350,6 +350,20 @@ def distill_draft(params, mc, s, log=print):
         return 0.5 * hub + ce, (hub, ce, agree)
 
     trainable = {f: getattr(draft0, f) for f in DRAFT_FIELDS}
+    init_from = os.environ.get("STRUCT_DRAFT_INIT")
+    outer0 = 0
+    if init_from:
+        # resume a distillation interrupted by a tunnel outage: reload the
+        # trainable fields (f32) and skip the pools already consumed
+        # (recorded beside the snapshot); AdamW restarts cold — acceptable
+        # for a warm-started draft
+        z = np.load(init_from)
+        trainable = {f: (jnp.asarray(z[f]).astype(jnp.float32)
+                         if f in z.files else None)
+                     for f in DRAFT_FIELDS}
+        outer0 = int(np.load(init_from + ".meta.npy")) \
+            if os.path.exists(init_from + ".meta.npy") else 0
+        log(f"distill resumed from {init_from} at pool {outer0}")
     steps_per = pool // batch               # ONE pass over each pool
     total_steps = n_outer * steps_per
     opt = optax.adamw(optax.cosine_decay_schedule(1e-3, total_steps, 0.02),
@@ -372,7 +386,9 @@ def distill_draft(params, mc, s, log=print):
         return trainable, opt_state, ls[-1], ags[-1]
 
     t0 = time.time()
-    for outer in range(n_outer):
+    snap_path = os.environ.get("STRUCT_DISTILL_SNAP",
+                               "/tmp/struct_distill_snap.npz")
+    for outer in range(outer0, n_outer):
         toks, hid = pool_of(30_000 + outer)
         consts = {"tok": toks, "hid": hid, "embed": params.embed,
                   "head": head}
@@ -382,6 +398,13 @@ def distill_draft(params, mc, s, log=print):
                 f"({(outer+1)*steps_per} steps, all data fresh) "
                 f"loss {float(l):.4f} top1-agree {float(ag):.3f} "
                 f"({time.time()-t0:.0f}s)")
+        if (outer + 1) % 50 == 0 and outer + 1 < n_outer:
+            # crash/outage insurance: f32 trainable snapshot + pool count
+            np.savez_compressed(snap_path, **{
+                f: np.asarray(v) for f, v in trainable.items()
+                if v is not None})
+            np.save(snap_path + ".meta.npy", np.int64(outer + 1))
+            log(f"distill snapshot: {snap_path} @ pool {outer+1}")
 
     @jax.jit
     def eval_agree(trainable, consts, tok_b, hid_b):
