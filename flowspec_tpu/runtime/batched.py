@@ -97,7 +97,8 @@ class BatchedSpecEngine(SpecEngine):
 
     def __init__(self, params: LlamaParams, draft: EagleParams,
                  cfg: EngineConfig, batch_size: int = 4,
-                 adapt_tree: bool = True, dynamic_tree: bool = False):
+                 adapt_tree: bool = True, dynamic_tree: bool = False,
+                 dynamic_batch: bool = False):
         """`adapt_tree` (default on) applies the measured batch->tree-size
         table (see adapt_tree_for_batch); pass False to pin the configured
         tree (e.g. for exact-output parity tests against SpecEngine under
@@ -112,8 +113,18 @@ class BatchedSpecEngine(SpecEngine):
         the r3 static table left acceptance on the table at utilization
         0.78-0.87). Greedy outputs are tree-size-invariant, so variant
         switches mid-workload stay lossless. Implies adapt_tree=False for
-        allocation; generate_batch* paths then run the full tree."""
+        allocation; generate_batch* paths then run the full tree.
+
+        `dynamic_batch` additionally re-WIDTHS the serve_stream dispatch to
+        the active-lane bucket (power-of-two, capped at batch_size): a
+        vmapped idle lane costs exactly one active lane's verify FLOPs, so
+        a drain tail at 1 of 4 lanes pays 4x the compute it needs — the
+        resize is one lane-gather dispatch at each bucket crossing and the
+        scan re-specializes by input shape (no code changes). Composes
+        with dynamic_tree (narrow dispatches then also earn bigger
+        per-lane trees)."""
         self.dynamic_tree = dynamic_tree
+        self.dynamic_batch = dynamic_batch
         if adapt_tree and not dynamic_tree:
             import dataclasses
             cfg = dataclasses.replace(
@@ -153,6 +164,7 @@ class BatchedSpecEngine(SpecEngine):
         self._read_slot_jit = None
         self._boundary_jit = None
         self._rollback_jit = None
+        self._resize_jit = None
         self._zero_tstate = None
 
     def _serve_tree(self, n_active: int):
@@ -163,6 +175,42 @@ class BatchedSpecEngine(SpecEngine):
         n = max(1, min(int(n_active), self.batch_size))
         tc = self._tree_variants[n]
         return None if tc == self.cfg.tree else tc
+
+    def _serve_width(self, want: int) -> int:
+        """The dispatch batch WIDTH for `want` needed lanes (dynamic_batch):
+        the smallest power-of-two bucket >= want, capped at batch_size.
+        Bucketing bounds the number of compiled width variants while a
+        drain tail still pays verify rows only for the lanes it uses (a
+        vmapped idle lane costs exactly one active lane's FLOPs)."""
+        want = max(1, min(int(want), self.batch_size))
+        w = 1
+        while w < want:
+            w *= 2
+        return min(w, self.batch_size)
+
+    def _resize_lanes(self, batched, bctx, emitted, budget, perm, keep):
+        """Re-width the stacked lane state in ONE jitted dispatch: output
+        lane j takes input lane perm[j]; lanes with keep[j]=False are
+        deactivated (their payload is a placeholder copy — a refill resets
+        lengths, so garbage rows are never read). jax.jit re-specializes
+        per (in, out) width pair, so each transition compiles once."""
+        if self._resize_jit is None:
+            def rz(bx, cx, em, bud, perm, keep):
+                def g(a):
+                    if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+                        return jax.random.wrap_key_data(
+                            jax.random.key_data(a)[perm],
+                            impl=jax.random.key_impl(a))
+                    return a[perm]
+                bx2 = jax.tree_util.tree_map(g, bx)
+                cx2 = jax.tree_util.tree_map(g, cx)
+                import dataclasses as dc
+                cx2 = dc.replace(cx2, active=cx2.active & keep)
+                return bx2, cx2, em[perm], bud[perm]
+            self._resize_jit = jax.jit(rz)
+        return self._resize_jit(batched, bctx, emitted, budget,
+                                jnp.asarray(perm, jnp.int32),
+                                jnp.asarray(keep, bool))
 
     def _get_serve_scan(self, k_rounds: int, tree_cfg=None):
         """Up to K serve-rounds fused into one device program with
@@ -1350,6 +1398,9 @@ class BatchedSpecEngine(SpecEngine):
         parked = None
         preemptions = 0
         cost_skips = 0
+        width_switches = 0
+        min_width = b
+        cap_rounds = 0
         while not all(finished):
             t = now()
             n_arrived = sum(1 for r in order if arrivals_s[r] <= t)
@@ -1399,15 +1450,43 @@ class BatchedSpecEngine(SpecEngine):
                 tstate, pfx_len = pfx_box["t"]
                 pfx_thread = None
 
+            # ---- dynamic batch width (dynamic_batch): re-bucket the
+            # dispatch to the lanes this moment needs — active + pending
+            # + a reserve slot for a parked resume; active lanes permute
+            # to the front, grown lanes are deactivated placeholders
+            if self.dynamic_batch:
+                n_act = sum(1 for l in lane_np if l >= 0)
+                want = (n_act + max(0, n_arrived - qh_host)
+                        + (1 if parked is not None else 0))
+                w = self._serve_width(want)
+                cur = len(lane_np)
+                if w != cur:
+                    src = ([s for s in range(cur) if lane_np[s] >= 0]
+                           + [s for s in range(cur) if lane_np[s] < 0])
+                    perm = (src + [0] * max(0, w - len(src)))[:w]
+                    keep = [i < min(len(src), w) for i in range(w)]
+                    batched, bctx, emitted, lane_budget = \
+                        self._resize_lanes(batched, bctx, emitted,
+                                           lane_budget, perm, keep)
+                    rm = lambda xs, fill: [
+                        xs[perm[i]] if keep[i] else fill for i in range(w)]
+                    lane_np = rm(lane_np, -1)
+                    em_np = rm(em_np, 0)
+                    bud_np = rm(bud_np, 2 ** 30)
+                    born = rm(born, False)
+                    width_switches += 1
+            wb = len(lane_np)
+            min_width = min(min_width, wb)
+
             # ---- boundary plan: ONE fused dispatch for all surgery ----
             use_tpl = tstate is not None
-            src_sel = [0] * b
-            fresh_qpos, fresh_sfx = [-1] * b, [-1] * b
-            fresh_seed, fresh_pos = [0] * b, [0] * b
+            src_sel = [0] * wb
+            fresh_qpos, fresh_sfx = [-1] * wb, [-1] * wb
+            fresh_seed, fresh_pos = [0] * wb, [0] * wb
             pause_idx, plan_parked, parked_meta = -1, None, None
             changed = False
             if parked is not None:
-                free = [s for s in range(b) if lane_np[s] == -1]
+                free = [s for s in range(wb) if lane_np[s] == -1]
                 if free:
                     s = free[0]
                     src_sel[s] = 1
@@ -1417,7 +1496,7 @@ class BatchedSpecEngine(SpecEngine):
                     born[s] = parked[5]
                     parked = None
                     changed = True
-            for s in range(b):
+            for s in range(wb):
                 if lane_np[s] != -1 or qh_host >= n_arrived:
                     continue
                 r = order[qh_host]
@@ -1433,14 +1512,14 @@ class BatchedSpecEngine(SpecEngine):
                 changed = True
             # preemption: every lane busy, work pending, nothing parked,
             # trigger + cost model both pass
-            victims = [s for s in range(b) if src_sel[s] == 0]
+            victims = [s for s in range(wb) if src_sel[s] == 0]
             if (preempt_factor is not None and parked is None
                     and qh_host < n_arrived and victims
                     and all(l >= 0 for l in lane_np)):
                 accept_est = max(
                     sum(new_tokens) / busy_slot_rounds, 0.5) \
                     if busy_slot_rounds else 1.0
-                remaining = [bud_np[s] - em_np[s] for s in range(b)]
+                remaining = [bud_np[s] - em_np[s] for s in range(wb)]
                 # only lanes untouched by this boundary are eligible: a
                 # lane being resumed/filled this very call would snapshot
                 # its STALE pre-boundary content
@@ -1519,15 +1598,16 @@ class BatchedSpecEngine(SpecEngine):
             if not all_born:
                 # in-program refills ran with the zero template: any lane
                 # the device touched no longer holds the prefix rows
-                for s in range(b):
+                for s in range(wb):
                     if lane_np[s] != pre_lane[s]:
                         born[s] = False
             accs = packed[:-1, :, :-2]
             naccs = packed[:-1, :, -2]
             reqs = packed[:-1, :, -1]
             t_end = now()
+            cap_rounds += n_exec * wb
             for j in range(n_exec):
-                for s in range(b):
+                for s in range(wb):
                     qpos = int(reqs[j, s])
                     if qpos < 0:
                         continue
@@ -1567,9 +1647,11 @@ class BatchedSpecEngine(SpecEngine):
             "completion_s": lat_total,
             "preemptions": preemptions,
             "preempt_cost_skips": cost_skips,
+            "width_switches": width_switches,
+            "min_width": min_width,
             "accept_per_round": total / max(busy_slot_rounds, 1),
             "admission_p50_s": q(lat_admit, 50),
             "admission_p95_s": q(lat_admit, 95),
             "completion_p50_s": q(lat_total, 50),
             "completion_p95_s": q(lat_total, 95),
-            "slot_utilization": busy_slot_rounds / max(rounds * b, 1)}
+            "slot_utilization": busy_slot_rounds / max(cap_rounds, 1)}

@@ -701,3 +701,42 @@ def test_conversation_store_lru_eviction():
     st.put("c", "SC", [4])                     # evicts "b" (oldest)
     assert "b" not in st and "a" in st and "c" in st
     assert len(st) == 2 and st.get("b") is None
+
+
+def test_serve_stream_dynamic_batch_width_lossless():
+    """dynamic_batch re-widths the dispatch to the active-lane bucket: a
+    4-slot engine serving a sparse trickle (1-2 concurrent) and a drain
+    tail must shrink its dispatch width, grow back for a burst, and still
+    emit exactly the solo AR streams."""
+    mc = ModelConfig.tiny(vocab_size=16, n_layers=2)
+    mc = type(mc)(**{**mc.__dict__, "dtype": "float32"})
+    tc = TreeConfig(top_k=6, depth=3, total_tokens=16, expand_tokens=12,
+                    expand_depth=2, node_cap=32, leaf_cap=32, depth_cap=10,
+                    chunk_len=8)
+    cfg = EngineConfig(model=mc, tree=tc, sampling=SamplingConfig(),
+                       max_seq_len=128, prefill_chunk=16)
+    p = init_llama_params(jax.random.key(0), mc, dtype=jnp.float32)
+    d = init_eagle_params(jax.random.key(9), mc, embed=p.embed,
+                          dtype=jnp.float32)
+    eng = BatchedSpecEngine(p, d, cfg, batch_size=4, adapt_tree=False,
+                            dynamic_batch=True, dynamic_tree=True)
+    rng = np.random.default_rng(29)
+    prompts = [rng.integers(3, 14, 6).tolist() for _ in range(6)]
+    budgets = [10, 4, 4, 4, 4, 8]
+    # one early request (shrinks to width 1-2), then a 4-request burst
+    # (grows back), then a late straggler (drain tail)
+    arrivals = [0.0, 1.0, 1.05, 1.1, 1.15, 2.5]
+    refs = [eng.generate_ar(pr, max_new_tokens=m, eos_token_id=-1)[0]
+            for pr, m in zip(prompts, budgets)]
+    state = {"t": 0.0}
+
+    def clock():
+        state["t"] += 0.05
+        return state["t"]
+    outs, stats = eng.serve_stream(
+        prompts, arrivals, max_new_tokens=budgets, eos_token_id=-1,
+        rounds_per_dispatch=2, clock=clock)
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert o == r, (i, o, r)
+    assert stats["min_width"] < 4, stats
+    assert stats["width_switches"] >= 2, stats

@@ -389,13 +389,15 @@ def main():
                                                             len(prompts))
                 gaps[0] = 0
                 arr = np.cumsum(gaps).tolist()
-                for dyn in (False, True):
+                for dyn, dynb in ((False, False), (True, False),
+                                  (True, True)):
                     eng = BatchedSpecEngine(
                         params, d,
                         cfg_of(mseq=int(os.environ.get("SUITE_MSEQ",
                                                        "384")),
                                tuned=trained is not None),
-                        batch_size=sb, dynamic_tree=dyn)
+                        batch_size=sb, dynamic_tree=dyn,
+                        dynamic_batch=dynb)
                     # warm EVERY variant program: staggered budgets drain
                     # the batch through all active-lane counts (a variant
                     # compiling inside the timed run would charge compile
@@ -411,13 +413,15 @@ def main():
                         prompts, arr, max_new_tokens=128, eos_token_id=-1,
                         rounds_per_dispatch=8)
                     dt = time.perf_counter() - t0
-                    emit({"mode": ("stream_dyntree_on" if dyn
+                    emit({"mode": ("stream_dyn_tree_batch" if dynb
+                                   else "stream_dyntree_on" if dyn
                                    else "stream_dyntree_off"),
                           "tok_s": round(stats["new_tokens"] / dt, 2),
                           "accept_per_round": round(
                               stats["accept_per_round"], 3),
                           "completion_p50_s": round(
                               stats["completion_p50_s"], 3),
+                          "min_width": stats.get("min_width"),
                           "slot_utilization": round(
                               stats["slot_utilization"], 3),
                           "draft": "trained" if trained else "random"})
