@@ -89,10 +89,22 @@ def main():
         depth=int(os.environ.get("SUITE_DEPTH", "8")),
         depth_cap=max(16, int(os.environ.get("SUITE_DEPTH", "8")) + 2),
         score_temperature=float(os.environ.get("SUITE_STEMP", "0.2")))
+    # the T=1 row gets its OWN swept tree (the stochastic optimum differs
+    # from greedy — acceptance is bounded by probability mass, not
+    # candidate count; r4 struct sweep); defaults to the greedy tree
+    t1d = int(os.environ.get("SUITE_T1_DEPTH",
+                             os.environ.get("SUITE_DEPTH", "8")))
+    tc_t1 = TreeConfig(
+        node_cap=96, leaf_cap=96, depth=t1d, depth_cap=max(16, t1d + 2),
+        total_tokens=int(os.environ.get("SUITE_T1_TOTAL", "80")),
+        score_temperature=float(os.environ.get(
+            "SUITE_T1_STEMP", os.environ.get("SUITE_STEMP", "0.2"))))
 
     def cfg_of(temp=0.0, max_new=n_tokens, mseq=max_seq, buckets=(),
                tuned=False):
-        return EngineConfig(model=mc, tree=tc_tuned if tuned else tc,
+        tree = (tc_t1 if (tuned and temp > 0)
+                else tc_tuned if tuned else tc)
+        return EngineConfig(model=mc, tree=tree,
                             sampling=SamplingConfig(temperature=temp),
                             max_new_tokens=max_new, max_seq_len=mseq,
                             kv_buckets=buckets)
