@@ -20,11 +20,61 @@ BENCH_BATCH=N (default 1; N>1 measures aggregate tokens/s of N concurrent
 requests through the vmapped fused decode loop).
 """
 
+import glob
 import json
 import os
+import subprocess
+import sys
 import time
+import traceback
 
 import numpy as np
+
+
+def _last_good_row():
+    """Headline row from the newest committed BENCH_r*.json whose run
+    succeeded — quoted in outage rows so a tunnel failure still leaves the
+    driver a number with provenance instead of a stack trace."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rec, dict) and rec.get("parsed"):
+            best = {"source": os.path.basename(p), **rec["parsed"]}
+    return best
+
+
+def _tunnel_probe(timeout_s: float):
+    """(ok, seconds): run a trivial computation on the default backend in a
+    SUBPROCESS with a hard timeout — the axon tunnel's failure mode is a
+    hang (~9 min before UNAVAILABLE, CLAUDE.md round-2), which an in-process
+    check cannot bound."""
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.ones((4, 4)).sum()))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0, time.time() - t0
+    except subprocess.TimeoutExpired:
+        return False, time.time() - t0
+
+
+def _emit_outage(kind: str, probe_s: float, detail: str = ""):
+    row = {"metric": "bench_unavailable", "value": None, "unit": None,
+           "vs_baseline": None, "error": kind,
+           "probe_s": round(probe_s, 1)}
+    if detail:
+        row["detail"] = detail[-600:]
+    lg = _last_good_row()
+    if lg:
+        row["last_good"] = lg
+    print(json.dumps(row))
 
 
 def build_into_formats(mc, cfg):
@@ -206,6 +256,35 @@ def build_struct_params(dtype: str = "bfloat16"):
 
 
 def main():
+    """Outage-proof wrapper (VERDICT r4 weak #1): probe the tunnel with a
+    short timeout BEFORE any engine build, retry within a bounded window,
+    and on failure — or on a mid-run tunnel death — emit ONE structured
+    JSON row (error + last committed good number) and exit 0, so the
+    driver always captures a parseable artifact. The reference's eval
+    always writes its results file too (run_pipe_eval.py:340-360)."""
+    if not os.environ.get("BENCH_CPU"):
+        retries = int(os.environ.get("BENCH_PROBE_RETRIES", "3"))
+        wait_s = float(os.environ.get("BENCH_PROBE_WAIT", "120"))
+        spent = 0.0
+        for attempt in range(retries):
+            ok, dt = _tunnel_probe(
+                float(os.environ.get("BENCH_PROBE_TIMEOUT", "150")))
+            spent += dt
+            if ok:
+                break
+            if attempt + 1 < retries:
+                time.sleep(wait_s)
+                spent += wait_s
+        else:
+            _emit_outage("tunnel_unavailable", spent)
+            return
+    try:
+        run_bench()
+    except Exception:
+        _emit_outage("bench_failed", 0.0, traceback.format_exc())
+
+
+def run_bench():
     model_kind = os.environ.get("BENCH_MODEL", "7b")
     n_tokens = int(os.environ.get("BENCH_TOKENS", "256"))
     mode = os.environ.get("BENCH_MODE", "spec")

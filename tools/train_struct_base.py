@@ -192,7 +192,21 @@ def train_base(mc, corpus_train, s, steps, log=print, save_every=None,
     lm_loss = make_lm_loss(mc, t_len)
 
     params = init_llama_params(jax.random.key(3), mc, dtype=jnp.float32)
-    opt = optax.adamw(optax.cosine_decay_schedule(lr, steps, 0.05),
+    step0 = 0
+    init_from = os.environ.get("STRUCT_BASE_INIT")
+    if init_from:
+        # resume base training interrupted by a tunnel outage: reload the
+        # last fp16 snapshot as the f32 master and skip the steps already
+        # taken (recorded beside the snapshot). AdamW moments restart cold
+        # and the cosine schedule is offset so the lr continues where it
+        # left off rather than re-warming to peak.
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), load_base(init_from, mc))
+        meta = init_from + ".step.npy"
+        step0 = int(np.load(meta)) if os.path.exists(meta) else 0
+        log(f"base resumed from {init_from} at step {step0} (opt cold)")
+    sched = optax.cosine_decay_schedule(lr, steps, 0.05)
+    opt = optax.adamw(lambda count: sched(count + step0),
                       b1=0.9, b2=0.95, weight_decay=0.01)
     opt_state = opt.init(params)
 
@@ -221,7 +235,7 @@ def train_base(mc, corpus_train, s, steps, log=print, save_every=None,
 
     tok_dev = jnp.asarray(corpus_train)
     t0 = time.time()
-    for c in range(0, steps, chunk):
+    for c in range(step0, steps, chunk):
         params, opt_state, ce, acc = run_chunk(
             params, opt_state, jnp.asarray(c, jnp.int32), tok_dev)
         log(f"base step {c+chunk:5d}/{steps} ce {float(ce):.4f} "
@@ -229,6 +243,7 @@ def train_base(mc, corpus_train, s, steps, log=print, save_every=None,
         if (save_every and save_path and (c + chunk) % save_every == 0
                 and c + chunk < steps):
             save_base(params, save_path)
+            np.save(save_path + ".step.npy", np.int64(c + chunk))
             log(f"checkpoint: {save_path} @ step {c+chunk}")
     del opt_state
     eval_loss = jax.jit(lm_loss)
@@ -358,8 +373,13 @@ def distill_draft(params, mc, s, log=print):
         # (recorded beside the snapshot); AdamW restarts cold — acceptable
         # for a warm-started draft
         z = np.load(init_from)
+        # fields absent from the snapshot fall back to the FRESH init, not
+        # None: optax treats None as an empty subtree, so a partial/stale
+        # snapshot would otherwise silently train without that field
+        # (advisor r4). Fields that are None in draft0 (e.g. w_out for a
+        # full-width draft) legitimately stay None.
         trainable = {f: (jnp.asarray(z[f]).astype(jnp.float32)
-                         if f in z.files else None)
+                         if f in z.files else getattr(draft0, f))
                      for f in DRAFT_FIELDS}
         outer0 = int(np.load(init_from + ".meta.npy")) \
             if os.path.exists(init_from + ".meta.npy") else 0
@@ -480,8 +500,12 @@ def run(scale: str, log=print):
             save_every=int(os.environ.get("STRUCT_SAVE_EVERY", "2000")),
             save_path=f"/tmp/struct_base_{scale}_last.npz")
         # checkpoint immediately: a crash in a later phase must not cost
-        # the ~30 min of base training (it did once)
+        # the ~30 min of base training (it did once). The step meta marks
+        # training COMPLETE so a babysitter relaunch with STRUCT_BASE_INIT
+        # skips straight past the (empty) training loop.
         save_base(params, f"/tmp/struct_base_{scale}_last.npz")
+        np.save(f"/tmp/struct_base_{scale}_last.npz.step.npy",
+                np.int64(s["steps"]))
         log(f"base saved: /tmp/struct_base_{scale}_last.npz")
         ce_h, acc_h = (float(x) for x in eval_loss(jnp.asarray(hold)))
     bayes = oracle_top1(hold, s)
