@@ -156,7 +156,7 @@ def run_eval_serve(engine, tokenize: Callable[[str], Sequence[int]],
                    template: str = "vicuna", max_new_tokens: int = 64,
                    eos_token_id: int = -1, queue_order: str = "fifo",
                    prefix_cache: bool = False, warmup: bool = True,
-                   max_turns: int = 1,
+                   max_turns: int = 1, store_cap: int = 8,
                    detokenize: Optional[Callable] = None,
                    results_path: Optional[str] = None) -> List[dict]:
     """Dataset-level CONTINUOUS BATCHING eval: every question's first turn
@@ -182,11 +182,18 @@ def run_eval_serve(engine, tokenize: Callable[[str], Sequence[int]],
     conversation's KV and chain-prefills only the new turn — the
     reference re-prefills the whole conversation every turn. Returns one
     row per turn; turn-2+ rows record `resumed` and their
-    latency_rounds_p50 shows the TTFT cut."""
+    latency_rounds_p50 shows the TTFT cut.
+
+    `store_cap` bounds the ConversationStore: each entry pins a full
+    per-lane KV snapshot on device (~hundreds of MB at 7B), so an
+    uncapped store over an 80-question dataset is tens of GB and OOMs
+    the 16GB chip (advisor r4). Evicted conversations degrade gracefully
+    to a cold re-prefill; rows record `resumed` so degraded coverage
+    stays observable."""
     from flowspec_tpu.runtime.batched import ConversationStore
     assert max_turns == 1 or detokenize is not None, \
         "multi-turn serving eval needs detokenize to build turn-2 prompts"
-    store = ConversationStore(max_items=len(questions)) \
+    store = ConversationStore(max_items=store_cap) \
         if max_turns > 1 else None
     convos = [[] for _ in questions]
     rows = []

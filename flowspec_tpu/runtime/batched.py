@@ -159,11 +159,9 @@ class BatchedSpecEngine(SpecEngine):
         # only the most recent two)
         self._prefix_templates = {}
         self._lanes_jit = None
-        self._lane_jit = None
         self._write_slot_jit = None
         self._read_slot_jit = None
         self._boundary_jit = None
-        self._rollback_jit = None
         self._resize_jit = None
         self._zero_tstate = None
 
@@ -240,8 +238,11 @@ class BatchedSpecEngine(SpecEngine):
         SAME lane states flow through whichever variant the host picks
         per dispatch — see serve()'s active-lane keying). Programs are
         cached per (k, variant)."""
-        key = k_rounds if tree_cfg is None else (k_rounds,
-                                                 tree_cfg.total_tokens)
+        # key on the FULL TreeConfig (frozen dataclass, hashable): two
+        # variants sharing total_tokens but differing in node_cap/leaf_cap/
+        # score_temperature must not reuse each other's compiled program
+        # (advisor r4)
+        key = k_rounds if tree_cfg is None else (k_rounds, tree_cfg)
         if key not in self._serve_scans:
             cfg = self.cfg
             tc = cfg.tree if tree_cfg is None else tree_cfg
@@ -455,27 +456,6 @@ class BatchedSpecEngine(SpecEngine):
         st = self.init_state(seed, max_seq=max_seq)
         return self.prefill(st, prompt)
 
-    def _rollback_state(self, state, keep: int, key_seed: int):
-        """A stored conversation snapshot rolled back to `keep` committed
-        tokens, pending pairs cleared, fresh per-request key — one jitted
-        dispatch. Exactness argument is resume_and_generate's: committed
-        KV row i holds stream token i, so rolling the lengths back to the
-        common token prefix and re-chaining from the boundary token
-        reproduces the solo stream."""
-        if self._rollback_jit is None:
-            import dataclasses as dc
-
-            def rb(t, kp, sd):
-                return dc.replace(
-                    t,
-                    base_cache=dc.replace(t.base_cache, length=kp),
-                    draft_cache=dc.replace(t.draft_cache, length=kp),
-                    commit_len=kp, n_pending=jnp.zeros((), jnp.int32),
-                    key=jax.random.key(sd))
-            self._rollback_jit = jax.jit(rb)
-        return self._rollback_jit(state, jnp.asarray(keep, jnp.int32),
-                                  jnp.asarray(key_seed, jnp.int32))
-
     # ---- fused host-boundary surgery ---------------------------------
     def _zero_template(self):
         """A cached all-zero single-lane EngineState — the 'template' for
@@ -523,9 +503,9 @@ class BatchedSpecEngine(SpecEngine):
 
             def apply(batched, bctx, emitted, budget,
                       parked_st, parked_ctx, parked_em, parked_bud,
-                      parked_rollback, tstate, src_sel, fresh_qpos,
-                      fresh_sfx, fresh_seed, fresh_pos, pause_idx,
-                      q_prompts, q_lens, q_budgets):
+                      parked_rollback, parked_seed, tstate, src_sel,
+                      fresh_qpos, fresh_sfx, fresh_seed, fresh_pos,
+                      pause_idx, q_prompts, q_lens, q_budgets):
                 b = src_sel.shape[0]
                 # snapshot BEFORE any writes
                 pi = jnp.clip(pause_idx, 0, b - 1)
@@ -533,7 +513,11 @@ class BatchedSpecEngine(SpecEngine):
                 snap_ctx = jax.tree_util.tree_map(lambda a: a[pi], bctx)
                 snap_em, snap_bud = emitted[pi], budget[pi]
 
-                # parked rollback (multi-turn resume semantics)
+                # parked rollback (multi-turn resume semantics). The lane
+                # key is re-derived from parked_seed (the caller passes
+                # seed + queue position, the same convention as fresh
+                # fills), so a resumed turn's T>0 randomness doesn't
+                # depend on WHICH admission path took it (advisor r4).
                 rb = parked_rollback
                 mk = lambda old, new: jnp.where(rb >= 0, new, old)
                 parked_st = dc.replace(
@@ -546,7 +530,11 @@ class BatchedSpecEngine(SpecEngine):
                         length=mk(parked_st.draft_cache.length, rb)),
                     commit_len=mk(parked_st.commit_len, rb),
                     n_pending=mk(parked_st.n_pending,
-                                 jnp.zeros((), jnp.int32)))
+                                 jnp.zeros((), jnp.int32)),
+                    key=jax.random.wrap_key_data(
+                        mk(jax.random.key_data(parked_st.key),
+                           jax.random.key_data(jax.random.key(parked_seed))),
+                        impl=jax.random.key_impl(parked_st.key)))
 
                 # fresh lanes: template copies, first suffix token patched
                 # into the placeholder pair slot, per-lane key
@@ -599,6 +587,7 @@ class BatchedSpecEngine(SpecEngine):
             jnp.asarray(int(parked[2]), jnp.int32),
             jnp.asarray(int(parked[3]), jnp.int32),
             jnp.asarray(int(plan.get("parked_rollback", -1)), jnp.int32),
+            jnp.asarray(int(plan.get("parked_seed", 0)), jnp.int32),
             plan.get("tstate") or self._zero_template(),
             jnp.asarray(plan["src_sel"], jnp.int32),
             jnp.asarray(plan["fresh_qpos"], jnp.int32),
@@ -816,21 +805,6 @@ class BatchedSpecEngine(SpecEngine):
         return (tstate.commit_len, tstate.draft_cache.length,
                 tstate.pending_tokens, tstate.pending_hidden,
                 tstate.n_pending)
-
-    def _lane_from_template(self, tstate, first_sfx, key_seed: int):
-        """A lane EngineState resuming from the prefix template for a
-        request whose first post-prefix token is `first_sfx` — one jitted
-        dispatch (this sits on the streaming admission path)."""
-        if self._lane_jit is None:
-            import dataclasses as dc
-
-            def one(t, s, sd):
-                pt = t.pending_tokens.at[t.n_pending - 1].set(s)
-                return dc.replace(t, pending_tokens=pt, root_token=s,
-                                  key=jax.random.key(sd))
-            self._lane_jit = jax.jit(one)
-        return self._lane_jit(tstate, jnp.asarray(int(first_sfx), jnp.int32),
-                              jnp.asarray(key_seed, jnp.int32))
 
     def _lanes_from_template(self, tstate, first_sfx, key_seeds):
         """The full B-lane stacked EngineState from the template in ONE
@@ -1053,7 +1027,7 @@ class BatchedSpecEngine(SpecEngine):
         # position to match the device refill's jax.random.key(seed + qpos).
         slot_q = [s if s < n_req else -1 for s in range(b)]
         lane_np = list(slot_q)
-        ctxs, sfx, kseeds, states = [], [], [], []
+        ctxs, sfx, kseeds, resumes = [], [], [], []
         for s in range(b):
             qp = slot_q[s]
             kseeds.append(seed + (qp if qp >= 0 else 1000 + s))
@@ -1065,38 +1039,48 @@ class BatchedSpecEngine(SpecEngine):
                 # multi-turn resume: stored snapshot rolled back to the
                 # common-prefix watermark; the chain re-forwards the
                 # boundary token and prefills only the new turn
-                states.append(self._rollback_state(rstate, keep,
-                                                   kseeds[-1]))
+                resumes.append((keep, rstate))
                 ctxs.append(self._serve_ctx(pr, prompt_pos=keep))
                 sfx.append(-1)
                 resumed_turns += 1
             else:
-                states.append(None)
+                resumes.append(None)
                 sfx.append(int(pr[pfx_len]) if pr is not None else -1)
                 ctxs.append(self._serve_ctx(pr, prompt_pos=pfx_len))
-        if any(st is not None for st in states):
-            base = (self._lane_from_template(tstate, s_, ks)
-                    if tstate is not None else None
-                    for s_, ks in zip(sfx, kseeds))
-            lanes = []
-            for s, (st, bs) in enumerate(zip(states, base)):
-                if st is not None:
-                    lanes.append(st)
-                elif bs is not None:
-                    lanes.append(bs)
-                else:
-                    lanes.append(self.init_state(kseeds[s]))
-            batched = self._stack_states(lanes)
-        elif tstate is None:
+        if tstate is None and not any(r is not None for r in resumes):
             batched = self._stack_states(
                 [self.init_state(ks) for ks in kseeds])
         else:
-            batched = self._lanes_from_template(tstate, sfx, kseeds)
+            # ONE fused dispatch builds every lane (resumed slots get
+            # sfx=-1 placeholders); each resume is then folded in by ONE
+            # fused boundary call below — no per-lane eager template or
+            # rollback ops on the serve path (advisor r4; CLAUDE.md
+            # round-4 fused-boundary rule)
+            batched = self._lanes_from_template(
+                tstate if tstate is not None else self._zero_template(),
+                sfx, kseeds)
         bctx = self._stack_states(ctxs)
         emitted = jnp.zeros((b,), jnp.int32)
         lane_budget = jnp.asarray(
             [budgets[order[qp]] if qp >= 0 else 2 ** 30 for qp in slot_q],
             jnp.int32)
+        for s, rz in enumerate(resumes):
+            if rz is None:
+                continue
+            keep, rstate = rz
+            qp = slot_q[s]
+            pr = np.asarray(prompts[order[qp]], np.int32).reshape(-1)
+            plan = dict(src_sel=[1 if i == s else 0 for i in range(b)],
+                        fresh_qpos=[-1] * b, fresh_sfx=[-1] * b,
+                        fresh_seed=[0] * b, fresh_pos=[0] * b,
+                        parked=(rstate,
+                                self._serve_ctx(pr, prompt_pos=keep),
+                                0, budgets[order[qp]]),
+                        parked_rollback=keep, parked_seed=kseeds[s],
+                        tstate=tstate)
+            batched, bctx, emitted, lane_budget, _ = self._run_boundary(
+                batched, bctx, emitted, lane_budget, plan,
+                q_prompts, q_lens, q_budgets)
         qh_host = min(b, n_req)
 
         rounds = 0
@@ -1175,6 +1159,7 @@ class BatchedSpecEngine(SpecEngine):
                                     prn, prompt_pos=keep),
                                 0, budgets[rn])
                             plan["parked_rollback"] = keep
+                            plan["parked_seed"] = seed + qh_host
                             resumed_turns += 1
                         else:
                             plan["src_sel"][s] = 2
