@@ -94,7 +94,11 @@ def child(pid: int) -> None:
     # ring wrap 7->0 crosses the process boundary
     mesh = Mesh(np.array(jax.devices()), ("stage",))
     results = {}
-    for schedule in ("continuous", "pruned"):
+    # ALL SIX schedules of the real product engine over the cross-process
+    # mesh (r4 verdict #7): every stage hop 3->4 and ring wrap 7->0 is a
+    # real TCP collective
+    for schedule in ("ar", "serial", "naive", "pruned", "continuous",
+                     "pipedec"):
         eng = PipelineEngine(params, draft, cfg, mesh=mesh,
                              schedule=schedule)
         out, stats = eng.generate_fused(prompt, max_new_tokens=6,
@@ -163,12 +167,14 @@ def parent() -> None:
     ok = all(c == 0 for c in codes) and all(oks)
     rec = {"ok": ok, "processes": N_PROCS,
            "devices_per_process": DEVS_PER_PROC,
-           "schedules": ["continuous", "pruned", "continuous_pp_x_tp",
-                         "galaxy_tp4"],
+           "schedules": ["ar", "serial", "naive", "pruned", "continuous",
+                         "pipedec", "continuous_pp_x_tp", "galaxy_tp4"],
            "collectives": "gloo (cross-process TCP)",
            "wall_s": round(time.perf_counter() - t0, 1)}
     if not os.environ.get("MULTIHOST_NO_RECORD"):
-        with open(os.path.join(_ROOT, "MULTIHOST_r02.json"), "w") as f:
+        with open(os.path.join(
+                _ROOT, os.environ.get("MULTIHOST_OUT",
+                                      "MULTIHOST_r05.json")), "w") as f:
             json.dump(rec, f, indent=1)
     print(json.dumps(rec))
     sys.exit(0 if ok else 1)

@@ -55,6 +55,16 @@ SCALES = {
                  holdout=64, batch=16, steps=800, lr=3e-3,
                  distill_pool=128, distill_outer=25, gen_tokens=48,
                  prompt_len=24, draft_width=64, distill_batch=16),
+    # 8-layer CPU scale: same difficulty family as tiny but deep enough to
+    # stage-split 8 ways — trains the committed dryrun fixture
+    # (tests/fixtures/struct_tiny8_*.npz) that drives the 8-stage
+    # multichip gate at the PRODUCTION tree shape with real multi-token
+    # acceptance (r4 verdict #8)
+    "tiny8": dict(vocab=512, hidden=128, inter=320, layers=8, heads=4, kv=4,
+                  n_classes=16, copy_dist=8, seq_len=96, n_seqs=4096,
+                  holdout=64, batch=16, steps=1600, lr=3e-3,
+                  distill_pool=128, distill_outer=40, gen_tokens=48,
+                  prompt_len=24, draft_width=128, distill_batch=16),
     # hardware scale: ~170M params. Sizing from the run trajectories:
     # 3000 base steps -> held-out top1 0.146, still climbing; 15000 ->
     # 0.27, 0.72x the Bayes ceiling. n_classes is the difficulty dial:
@@ -620,7 +630,7 @@ def run(scale: str, log=print):
 def main():
     scale = os.environ.get("STRUCT_SCALE", "mid")
     import jax
-    if scale == "tiny":
+    if scale in ("tiny", "tiny8"):
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE", "/tmp/flowspec_jax_cache"))
