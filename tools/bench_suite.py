@@ -24,7 +24,7 @@ import numpy as np
 
 MODEL = os.environ.get("SUITE_MODEL", "7b")
 OUT = os.environ.get("SUITE_OUT", os.path.join(_ROOT,
-                                               "BENCH_SUITE_r04.jsonl"))
+                                               "BENCH_SUITE_r05.jsonl"))
 ALL_MODES = ("spec_trained", "spec_random", "ar", "t1_trained",
              "serve4", "batch4", "stream", "longgen", "serve_sched",
              "serve_prefix", "stream_prefix", "stream_preempt",

@@ -12,7 +12,7 @@ Ref anchor: eval/eval_params.py:196-205 (the reference's tree-shape grid,
 run per temperature by its outer loop run_pipe_eval.py:191).
 
 Env: STRUCT_BASE/STRUCT_DRAFT npz paths (default /tmp/struct_*_big.npz),
-SWEEP_OUT (default SWEEP_r04_struct.jsonl), SWEEP_TOKENS (default 128),
+SWEEP_OUT (default SWEEP_r05_struct.jsonl), SWEEP_TOKENS (default 128),
 SWEEP_PROMPTS (default 3). Runs in ONE process; uses the host round loop
 so each grid point compiles only the small per-round program.
 Run: python tools/struct_sweep.py     (holds the TPU ~15-25 min)
@@ -54,7 +54,7 @@ def main():
     from tools.train_struct_base import SCALES
 
     out_path = os.environ.get("SWEEP_OUT",
-                              os.path.join(_ROOT, "SWEEP_r04_struct.jsonl"))
+                              os.path.join(_ROOT, "SWEEP_r05_struct.jsonl"))
     n_tok = int(os.environ.get("SWEEP_TOKENS", "128"))
     n_prompts = int(os.environ.get("SWEEP_PROMPTS", "3"))
     s = SCALES[os.environ.get("STRUCT_SCALE", "big")]
