@@ -16,7 +16,7 @@ REPO=$(cd "$(dirname "$0")/.." && pwd)
 LOG=/tmp/struct_${SCALE}_train.log
 BLOG=/tmp/babysit.log
 BASE_LAST=/tmp/struct_base_${SCALE}_last.npz
-SNAP=/tmp/struct_distill_snap.npz
+SNAP=/tmp/struct_distill_snap_1792h12L.npz   # big scale (hidden x layers)
 REPORT=$REPO/checkpoints/struct_${SCALE}.json
 QUIET_S=1500          # log silent this long before probing (25 min)
 PROBE_TIMEOUT=150     # a probe blocked behind the trainer attaches in 60-90s

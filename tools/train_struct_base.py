@@ -60,11 +60,16 @@ SCALES = {
     # (tests/fixtures/struct_tiny8_*.npz) that drives the 8-stage
     # multichip gate at the PRODUCTION tree shape with real multi-token
     # acceptance (r4 verdict #8)
-    "tiny8": dict(vocab=512, hidden=128, inter=320, layers=8, heads=4, kv=4,
-                  n_classes=16, copy_dist=8, seq_len=96, n_seqs=4096,
-                  holdout=64, batch=16, steps=1600, lr=3e-3,
-                  distill_pool=128, distill_outer=40, gen_tokens=48,
-                  prompt_len=24, draft_width=128, distill_batch=16),
+    # draft capacity is the binding factor at this scale: hidden 128 gave
+    # held-out draft agree 0.18 / accept 1.38 even with 5x distillation
+    # data (flat curve — capacity-limited, mirroring mid's finding that
+    # width 1024 was needed for agree 0.827); hidden 256 + n_classes 8
+    # puts the 1-layer draft back in its learnable regime
+    "tiny8": dict(vocab=1024, hidden=256, inter=640, layers=8, heads=4,
+                  kv=4, n_classes=8, copy_dist=8, seq_len=128, n_seqs=4096,
+                  holdout=64, batch=16, steps=3000, lr=3e-3,
+                  distill_pool=128, distill_outer=150, gen_tokens=48,
+                  prompt_len=24, draft_width=256, distill_batch=16),
     # hardware scale: ~170M params. Sizing from the run trajectories:
     # 3000 base steps -> held-out top1 0.146, still climbing; 15000 ->
     # 0.27, 0.72x the Bayes ceiling. n_classes is the difficulty dial:
@@ -416,8 +421,12 @@ def distill_draft(params, mc, s, log=print):
         return trainable, opt_state, ls[-1], ags[-1]
 
     t0 = time.time()
-    snap_path = os.environ.get("STRUCT_DISTILL_SNAP",
-                               "/tmp/struct_distill_snap.npz")
+    # scale-specific default: concurrent runs at different scales (e.g.
+    # the CPU tiny8 fixture beside the TPU big run) must not overwrite
+    # each other's resume snapshots
+    snap_path = os.environ.get(
+        "STRUCT_DISTILL_SNAP",
+        f"/tmp/struct_distill_snap_{s['hidden']}h{s['layers']}L.npz")
     for outer in range(outer0, n_outer):
         toks, hid = pool_of(30_000 + outer)
         consts = {"tok": toks, "hid": hid, "embed": params.embed,
