@@ -19,6 +19,11 @@ BASE_LAST=/tmp/struct_base_${SCALE}_last.npz
 SNAP=/tmp/struct_distill_snap_1792h12L.npz   # big scale (hidden x layers)
 REPORT=$REPO/checkpoints/struct_${SCALE}.json
 QUIET_S=1500          # log silent this long before probing (25 min)
+QUIET_WEDGE_S=2700    # silent this long WITH a healthy tunnel = stale RPC
+                      # (r5 observed: trainer slept 45+ min mid-save while
+                      # a fresh probe attached in 14s); kept above the
+                      # 8-30 min silent remote-compile window so a slow
+                      # compile is never killed into a relaunch loop
 PROBE_TIMEOUT=150     # a probe blocked behind the trainer attaches in 60-90s
 
 blog() { echo "[babysit $(date +%H:%M:%S)] $*" >> "$BLOG"; }
@@ -41,6 +46,18 @@ import jax, jax.numpy as jnp
 print(float(jnp.ones((4,4)).sum()))" >/dev/null 2>&1
 }
 
+kill_trainer() {
+  # $PID is the launch subshell; the python trainer is its CHILD (the
+  # `cd && env` chain prevents bash's exec optimization). Kill children
+  # by exact parent pid first — an orphaned trainer would keep holding
+  # the TPU and block the relaunch from attaching.
+  pkill -TERM -P "$PID" 2>/dev/null
+  kill "$PID" 2>/dev/null
+  sleep 10
+  pkill -KILL -P "$PID" 2>/dev/null
+  kill -9 "$PID" 2>/dev/null
+}
+
 launch
 FAILS=0
 while true; do
@@ -57,14 +74,20 @@ while true; do
   if [ "$AGE" -lt "$QUIET_S" ]; then FAILS=0; continue; fi
   blog "log quiet ${AGE}s — probing tunnel"
   if probe_ok; then
-    blog "probe ok: trainer quiet but tunnel alive (congestion) — waiting"
+    if [ "$AGE" -ge "$QUIET_WEDGE_S" ]; then
+      blog "tunnel alive but trainer silent ${AGE}s: stale RPC — killing pid $PID"
+      kill_trainer
+      sleep 10; launch
+    else
+      blog "probe ok: trainer quiet but tunnel alive (congestion) — waiting"
+    fi
     FAILS=0
   else
     FAILS=$((FAILS + 1))
     blog "probe FAILED ($FAILS/2)"
     if [ "$FAILS" -ge 2 ]; then
       blog "tunnel down + trainer wedged: killing pid $PID"
-      kill "$PID" 2>/dev/null; sleep 10; kill -9 "$PID" 2>/dev/null
+      kill_trainer
       until probe_ok; do blog "waiting for tunnel..."; sleep 120; done
       blog "tunnel back — relaunching from checkpoints"
       launch; FAILS=0
