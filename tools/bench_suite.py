@@ -410,14 +410,14 @@ def main():
                                tuned=trained is not None),
                         batch_size=sb, dynamic_tree=dyn,
                         dynamic_batch=dynb)
-                    # warm EVERY variant program: staggered budgets drain
-                    # the batch through all active-lane counts (a variant
-                    # compiling inside the timed run would charge compile
-                    # time to the ON arm)
-                    eng.serve_stream(prompts[:sb],
-                                     [0.0] * sb,
-                                     max_new_tokens=[8 * (i + 1)
-                                                     for i in range(sb)],
+                    # warm EVERY variant program by running the EXACT
+                    # timed workload once untimed: the staggered-budget
+                    # warmup r4 used never reached the 1-2-active-lane
+                    # variants (budgets drained between dispatch
+                    # boundaries), so those compiled inside the timed run
+                    # and the ON row measured remote-compile wall clock
+                    # (r5 first pass: 30.7 tok/s at utilization 0.86)
+                    eng.serve_stream(prompts, arr, max_new_tokens=128,
                                      eos_token_id=-1,
                                      rounds_per_dispatch=8)
                     t0 = time.perf_counter()
