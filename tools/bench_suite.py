@@ -28,7 +28,8 @@ OUT = os.environ.get("SUITE_OUT", os.path.join(_ROOT,
 ALL_MODES = ("spec_trained", "spec_random", "ar", "t1_trained",
              "serve4", "batch4", "stream", "longgen", "serve_sched",
              "serve_prefix", "stream_prefix", "stream_preempt",
-             "serve_tree_ab", "stream_dyntree", "serve_multiturn")
+             "serve_tree_ab", "stream_dyntree", "stream_dynbatch_tail",
+             "serve_multiturn")
 SB = int(os.environ.get("SUITE_BATCH", "4"))
 MODES = [m for m in os.environ.get("SUITE_MODES",
                                    ",".join(ALL_MODES)).split(",") if m]
@@ -436,6 +437,43 @@ def main():
                           "min_width": stats.get("min_width"),
                           "slot_utilization": round(
                               stats["slot_utilization"], 3),
+                          "draft": "trained" if trained else "random"})
+            elif mode == "stream_dynbatch_tail":
+                # dynamic batch width on its DESIGN workload: a drain
+                # tail. All requests arrive at t=0; after the 7 shorts
+                # drain, one long runs alone for ~96 tokens — the narrow
+                # dispatch pays 1/4 the verify compute per round. (Under
+                # CONTINUOUS arrivals dynamic_batch LOSES — narrow
+                # dispatches can't admit waiting arrivals until the next
+                # boundary: 146 vs 343 tok/s, suite r5 stream_dyntree
+                # rows — which is why it's opt-in.)
+                d = trained or rnd_draft
+                prompts = [rng0.integers(10, 1000, 64) for _ in range(8)]
+                budgets = [32] * 7 + [128]
+                arr = [0.0] * 8
+                for dynb in (False, True):
+                    eng = BatchedSpecEngine(
+                        params, d,
+                        cfg_of(mseq=int(os.environ.get("SUITE_MSEQ",
+                                                       "384")),
+                               tuned=trained is not None),
+                        batch_size=sb, dynamic_batch=dynb)
+                    eng.serve_stream(prompts, arr, max_new_tokens=budgets,
+                                     eos_token_id=-1,
+                                     rounds_per_dispatch=8)   # warm all
+                    t0 = time.perf_counter()
+                    outs, stats = eng.serve_stream(
+                        prompts, arr, max_new_tokens=budgets,
+                        eos_token_id=-1, rounds_per_dispatch=8)
+                    dt = time.perf_counter() - t0
+                    emit({"mode": ("stream_dynbatch_tail_on" if dynb
+                                   else "stream_dynbatch_tail_off"),
+                          "tok_s": round(stats["new_tokens"] / dt, 2),
+                          "wall_s": round(dt, 3),
+                          "min_width": stats.get("min_width"),
+                          "completion_p95_s": round(
+                              stats["completion_p95_s"], 3),
+                          "budgets": "32x7+128@t0",
                           "draft": "trained" if trained else "random"})
             elif mode == "serve_multiturn":
                 # multi-turn conversation serving (r3 verdict #6): turn 2
