@@ -384,14 +384,20 @@ def run_bench():
         draft_kind = ("random" if os.environ.get("BENCH_DRAFT") == "random"
                       else "trained")
     trained = draft_kind == "trained"
-    # struct-base defaults come from the r4 T=0/T=1 sweep on the trained
-    # base (SWEEP_r04_struct): real dynamics cap acceptance below the tree
-    # budget, so the random-base swept optimum does not transfer
+    # struct-base defaults come from the r5 T=0/T=1 sweep on the trained
+    # base (SWEEP_r05_struct): real dynamics cap acceptance below the tree
+    # budget, so the random-base swept optimum does not transfer — and the
+    # stochastic optimum is SHALLOWER than greedy (d4/tau0.3/n80, accept
+    # 2.37 vs 1.90 at the greedy shape; acceptance is bounded by
+    # probability mass, not candidate count)
+    struct_t1 = struct_parts is not None and temp > 0
     depth = int(os.environ.get(
-        "BENCH_DEPTH", ("8" if struct_parts is None else "6")
+        "BENCH_DEPTH", ("8" if struct_parts is None else
+                        "4" if struct_t1 else "6")
         if trained else "6"))
     stemp = float(os.environ.get(
-        "BENCH_SCORE_TEMP", ("0.2" if struct_parts is None else "1")
+        "BENCH_SCORE_TEMP", ("0.2" if struct_parts is None else
+                             "0.3" if struct_t1 else "1")
         if trained else "1"))
     tc = TreeConfig(node_cap=96, leaf_cap=96,
                     depth=depth, depth_cap=max(16, depth + 2),

@@ -369,7 +369,11 @@ def main():
                 # arrivals later than that never see a full batch)
                 prompts = [rng0.integers(10, 1000, 64) for _ in range(8)]
                 budgets = [256] * 4 + [16] * 4
-                arr = [0.0] * 4 + [0.3] * 4
+                # SUITE_PREEMPT_AT moves the shorts' arrival: late
+                # arrivals (longs nearly done) exercise the cost gate's
+                # SKIP branch — pausing would cost more than waiting
+                arr = [0.0] * 4 + [float(os.environ.get(
+                    "SUITE_PREEMPT_AT", "0.3"))] * 4
                 eng.serve_stream(prompts[:2], [0, 0], max_new_tokens=8,
                                  eos_token_id=-1, rounds_per_dispatch=4)
                 for pf in (None, 4.0):
@@ -496,7 +500,8 @@ def main():
                           conversations=ConversationStore(max_items=2),
                           conversation_ids=[-1, -2])   # warm the compiles
                 t0 = time.perf_counter()
-                outs1, st1 = eng.serve(t1, max_new_tokens=64,
+                mt_tok = int(os.environ.get("SUITE_MT_TOKENS", "64"))
+                outs1, st1 = eng.serve(t1, max_new_tokens=mt_tok,
                                        eos_token_id=-1,
                                        rounds_per_dispatch=16,
                                        conversations=store,
@@ -509,7 +514,7 @@ def main():
                                                  conversation_ids=ids)),
                                 ("cold", {})):
                     t0 = time.perf_counter()
-                    outs2, st2 = eng.serve(t2, max_new_tokens=64,
+                    outs2, st2 = eng.serve(t2, max_new_tokens=mt_tok,
                                            eos_token_id=-1,
                                            rounds_per_dispatch=16, **kw)
                     dt2 = time.perf_counter() - t0
