@@ -192,18 +192,24 @@ def main():
                           "draft": "trained" if trained else "random"})
                 else:
                     rps = 4.0
+                    # SUITE_STREAM_K trades dispatch-overhead amortization
+                    # (28ms per dispatch = 1 tunnel RTT, PROFILE_serve.md)
+                    # against admission granularity (arrivals wait up to
+                    # K rounds for a host boundary)
+                    sk = int(os.environ.get("SUITE_STREAM_K", "8"))
                     gaps = np.random.default_rng(3).exponential(
                         1 / rps, len(prompts))
                     gaps[0] = 0
                     arr = np.cumsum(gaps).tolist()
                     eng.serve_stream(prompts[:2], [0, 0], max_new_tokens=8,
-                                     eos_token_id=-1, rounds_per_dispatch=8)
+                                     eos_token_id=-1,
+                                     rounds_per_dispatch=sk)
                     t0 = time.perf_counter()
                     outs, stats = eng.serve_stream(
                         prompts, arr, max_new_tokens=128, eos_token_id=-1,
-                        rounds_per_dispatch=8)
+                        rounds_per_dispatch=sk)
                     dt = time.perf_counter() - t0
-                    emit({"mode": mode,
+                    emit({"mode": mode if sk == 8 else f"{mode}_k{sk}",
                           "tok_s": round(stats["new_tokens"] / dt, 2),
                           "admission_p50_s": round(
                               stats["admission_p50_s"], 3),
