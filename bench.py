@@ -393,11 +393,11 @@ def run_bench():
     struct_t1 = struct_parts is not None and temp > 0
     depth = int(os.environ.get(
         "BENCH_DEPTH", ("8" if struct_parts is None else
-                        "4" if struct_t1 else "6")
+                        "4" if struct_t1 else "8")
         if trained else "6"))
     stemp = float(os.environ.get(
         "BENCH_SCORE_TEMP", ("0.2" if struct_parts is None else
-                             "0.3" if struct_t1 else "1")
+                             "0.3" if struct_t1 else "0.6")
         if trained else "1"))
     tc = TreeConfig(node_cap=96, leaf_cap=96,
                     depth=depth, depth_cap=max(16, depth + 2),
