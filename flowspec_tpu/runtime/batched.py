@@ -159,6 +159,8 @@ class BatchedSpecEngine(SpecEngine):
         # only the most recent two)
         self._prefix_templates = {}
         self._lanes_jit = None
+        self._lanes_resume_jit = None
+        self._stack_jit = None
         self._write_slot_jit = None
         self._read_slot_jit = None
         self._boundary_jit = None
@@ -806,6 +808,64 @@ class BatchedSpecEngine(SpecEngine):
                 tstate.pending_tokens, tstate.pending_hidden,
                 tstate.n_pending)
 
+    def _lanes_with_resumes(self, tstate, first_sfx, key_seeds, parked,
+                            rollbacks, use_parked):
+        """All B lanes in ONE dispatch for a MIXED initial fill: rows with
+        use_parked take their stored conversation snapshot rolled back to
+        the `rollbacks` token watermark (pending cleared, key re-derived
+        from the row's seed — identical semantics to the boundary op's
+        parked path); other rows are fresh template copies with the first
+        post-prefix token patched in. Replaces the r5a per-resume
+        _run_boundary chain (~35ms/resume, PROFILE_serve.md) with one
+        stacked select."""
+        if self._lanes_resume_jit is None:
+            import dataclasses as dc
+
+            def build(t, sfx, seeds, par, rb, use):
+                def one(s, sd, p, r, u):
+                    pt = jnp.where(
+                        jnp.arange(t.pending_tokens.shape[0])
+                        == t.n_pending - 1,
+                        jnp.where(s >= 0, s, t.pending_tokens[
+                            jnp.clip(t.n_pending - 1, 0, None)]),
+                        t.pending_tokens)
+                    fresh = dc.replace(
+                        t, pending_tokens=pt,
+                        root_token=jnp.where(s >= 0, s, t.root_token),
+                        key=jax.random.key(sd))
+                    p2 = dc.replace(
+                        p,
+                        base_cache=dc.replace(p.base_cache, length=r),
+                        draft_cache=dc.replace(p.draft_cache, length=r),
+                        commit_len=r,
+                        n_pending=jnp.zeros((), jnp.int32),
+                        key=jax.random.key(sd))
+
+                    def sel(a, b_):
+                        if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+                            return jax.random.wrap_key_data(
+                                jnp.where(u, jax.random.key_data(a),
+                                          jax.random.key_data(b_)),
+                                impl=jax.random.key_impl(a))
+                        return jnp.where(u, a, b_)
+                    return jax.tree_util.tree_map(sel, p2, fresh)
+                return jax.vmap(one)(sfx, seeds, par, rb, use)
+            self._lanes_resume_jit = jax.jit(build)
+        return self._lanes_resume_jit(
+            tstate, jnp.asarray(first_sfx, jnp.int32),
+            jnp.asarray(key_seeds, jnp.int32), parked,
+            jnp.asarray(rollbacks, jnp.int32),
+            jnp.asarray(use_parked, bool))
+
+    def _stack_parked(self, states):
+        """Stack B single-lane states into one (B, ...) tree in ONE jitted
+        dispatch (the eager _stack_states pays a tunnel RTT per leaf)."""
+        if self._stack_jit is None:
+            self._stack_jit = jax.jit(
+                lambda *s: jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *s))
+        return self._stack_jit(*states)
+
     def _lanes_from_template(self, tstate, first_sfx, key_seeds):
         """The full B-lane stacked EngineState from the template in ONE
         jitted dispatch (per-lane eager patching costs ~70ms of tunnel RTT
@@ -1047,40 +1107,29 @@ class BatchedSpecEngine(SpecEngine):
                 resumes.append(None)
                 sfx.append(int(pr[pfx_len]) if pr is not None else -1)
                 ctxs.append(self._serve_ctx(pr, prompt_pos=pfx_len))
-        if tstate is None and not any(r is not None for r in resumes):
+        if any(r is not None for r in resumes):
+            # MIXED initial fill (conversation resumes + fresh lanes):
+            # one jitted stack of the parked snapshots + ONE fused build
+            # that selects rolled-back-parked vs template-fresh per lane
+            # — two dispatches total, regardless of resume count (the
+            # r5a per-resume boundary chain paid ~35ms each)
+            zt = tstate if tstate is not None else self._zero_template()
+            parked = self._stack_parked(
+                [rz[1] if rz is not None else zt for rz in resumes])
+            batched = self._lanes_with_resumes(
+                zt, sfx, kseeds, parked,
+                [rz[0] if rz is not None else 0 for rz in resumes],
+                [rz is not None for rz in resumes])
+        elif tstate is None:
             batched = self._stack_states(
                 [self.init_state(ks) for ks in kseeds])
         else:
-            # ONE fused dispatch builds every lane (resumed slots get
-            # sfx=-1 placeholders); each resume is then folded in by ONE
-            # fused boundary call below — no per-lane eager template or
-            # rollback ops on the serve path (advisor r4; CLAUDE.md
-            # round-4 fused-boundary rule)
-            batched = self._lanes_from_template(
-                tstate if tstate is not None else self._zero_template(),
-                sfx, kseeds)
+            batched = self._lanes_from_template(tstate, sfx, kseeds)
         bctx = self._stack_states(ctxs)
         emitted = jnp.zeros((b,), jnp.int32)
         lane_budget = jnp.asarray(
             [budgets[order[qp]] if qp >= 0 else 2 ** 30 for qp in slot_q],
             jnp.int32)
-        for s, rz in enumerate(resumes):
-            if rz is None:
-                continue
-            keep, rstate = rz
-            qp = slot_q[s]
-            pr = np.asarray(prompts[order[qp]], np.int32).reshape(-1)
-            plan = dict(src_sel=[1 if i == s else 0 for i in range(b)],
-                        fresh_qpos=[-1] * b, fresh_sfx=[-1] * b,
-                        fresh_seed=[0] * b, fresh_pos=[0] * b,
-                        parked=(rstate,
-                                self._serve_ctx(pr, prompt_pos=keep),
-                                0, budgets[order[qp]]),
-                        parked_rollback=keep, parked_seed=kseeds[s],
-                        tstate=tstate)
-            batched, bctx, emitted, lane_budget, _ = self._run_boundary(
-                batched, bctx, emitted, lane_budget, plan,
-                q_prompts, q_lens, q_budgets)
         qh_host = min(b, n_req)
 
         rounds = 0

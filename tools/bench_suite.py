@@ -85,10 +85,12 @@ def main():
     # score_temperature 0.2 — tools/stemp_probe.py) for trained-draft rows,
     # matching bench.py's defaults. SUITE_DEPTH/SUITE_STEMP override.
     tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16)
+    _sd = int(os.environ.get("SUITE_DEPTH", "8"))
+    _st = int(os.environ.get("SUITE_TOTAL", "80"))
     tc_tuned = TreeConfig(
-        node_cap=96, leaf_cap=96,
-        depth=int(os.environ.get("SUITE_DEPTH", "8")),
-        depth_cap=max(16, int(os.environ.get("SUITE_DEPTH", "8")) + 2),
+        total_tokens=_st, node_cap=max(96, _st + 16),
+        leaf_cap=max(96, _st + 16),
+        depth=_sd, depth_cap=max(16, _sd + 2),
         score_temperature=float(os.environ.get("SUITE_STEMP", "0.2")))
     # the T=1 row gets its OWN swept tree (the stochastic optimum differs
     # from greedy — acceptance is bounded by probability mass, not
