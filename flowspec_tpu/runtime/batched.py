@@ -91,6 +91,15 @@ class ConversationStore:
     def __contains__(self, conv_id):
         return conv_id in self._d
 
+    def clone(self):
+        """Shallow copy (entries share device snapshots — immutable jax
+        arrays, so sharing is safe). Lets a caller run a THROWAWAY resume
+        pass — e.g. warming the resumed-fill compile before timing an
+        A/B — without the real store's recency/entries being touched."""
+        c = ConversationStore(max_items=self.max_items)
+        c._d = dict(self._d)
+        return c
+
 
 class BatchedSpecEngine(SpecEngine):
     """SpecEngine plus vmapped multi-request decoding over B slots."""

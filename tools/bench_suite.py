@@ -518,6 +518,13 @@ def main():
                 t2 = [[int(x) for x in o]
                       + rng0.integers(10, 1000, 16).tolist()
                       for o in outs1]
+                # warm the resumed-fill programs (stacked snapshot build)
+                # on a THROWAWAY store clone so the timed resumed arm
+                # measures serving, not its one-time compile
+                eng.serve(t2, max_new_tokens=4, eos_token_id=-1,
+                          rounds_per_dispatch=16,
+                          conversations=store.clone(),
+                          conversation_ids=ids)
                 for tag, kw in (("resumed", dict(conversations=store,
                                                  conversation_ids=ids)),
                                 ("cold", {})):
