@@ -87,11 +87,17 @@ def main():
     tc = TreeConfig(node_cap=96, leaf_cap=96, depth_cap=16)
     _sd = int(os.environ.get("SUITE_DEPTH", "8"))
     _st = int(os.environ.get("SUITE_TOTAL", "80"))
+    # swept greedy optima differ per base: the random 7b base wants
+    # tau 0.2 (flat softmax needs hard sharpening, SWEEP_r03), the
+    # trained struct base wants tau 0.6 (SWEEP_r05_struct: accept 7.39
+    # vs 6.10, end-to-end 1158 vs 1075 tok/s; deeper trees lose on beam
+    # time — SWEEP_r05_struct_fine)
     tc_tuned = TreeConfig(
         total_tokens=_st, node_cap=max(96, _st + 16),
         leaf_cap=max(96, _st + 16),
         depth=_sd, depth_cap=max(16, _sd + 2),
-        score_temperature=float(os.environ.get("SUITE_STEMP", "0.2")))
+        score_temperature=float(os.environ.get(
+            "SUITE_STEMP", "0.6" if MODEL == "struct" else "0.2")))
     # the T=1 row gets its OWN swept tree (the stochastic optimum differs
     # from greedy — acceptance is bounded by probability mass, not
     # candidate count; r4 struct sweep); defaults to the greedy tree
