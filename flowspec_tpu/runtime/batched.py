@@ -767,6 +767,34 @@ class BatchedSpecEngine(SpecEngine):
             dict(src_sel=[0] * b, fresh_qpos=[-1] * b, fresh_sfx=[-1] * b,
                  fresh_seed=[0] * b, fresh_pos=[0] * b, pause_idx=0,
                  parked=None, tstate=None), *qz)
+        # dynamic-tree variant programs: compile EVERY variant the engine
+        # can pick (one per live active-lane count) for each k. Without
+        # this, which variants exist at timing-time depends on the wall-
+        # clock arrival pattern of earlier calls — a compile can land
+        # inside a measured run (r5: a dyntree ON arm measured 74.7 vs
+        # 323 tok/s purely from one such compile).
+        if self.dynamic_tree:
+            tmpl = self._template_consts(None)
+            for k in ks:
+                for n_act in range(1, b + 1):
+                    scan = self._get_serve_scan(int(k),
+                                                self._serve_tree(n_act))
+                    batched = self._lanes_from_template(
+                        self._zero_template(), [-1] * b, list(range(b)))
+                    bctx = self._stack_states(
+                        [self._serve_ctx([1, 2, 3] if i < n_act else None)
+                         for i in range(b)])
+                    scan(batched, self.params, self.draft, self.beam_head,
+                         bctx,
+                         jnp.asarray([i if i < n_act else -1
+                                      for i in range(b)], jnp.int32),
+                         jnp.zeros((b,), jnp.int32),
+                         jnp.full((b,), 2, jnp.int32),
+                         jnp.asarray(n_act, jnp.int32), *qz,
+                         jnp.asarray(0, jnp.int32),
+                         jnp.asarray(-1, jnp.int32),
+                         jnp.asarray(0, jnp.int32),
+                         jnp.asarray(False), *tmpl)
 
     # ---- shared-prefix (prefix-cache) serving ------------------------
     def _prefix_template(self, shared_prefix, seed: int):

@@ -429,13 +429,15 @@ def main():
                                tuned=trained is not None),
                         batch_size=sb, dynamic_tree=dyn,
                         dynamic_batch=dynb)
-                    # warm EVERY variant program by running the EXACT
-                    # timed workload once untimed: the staggered-budget
-                    # warmup r4 used never reached the 1-2-active-lane
-                    # variants (budgets drained between dispatch
-                    # boundaries), so those compiled inside the timed run
-                    # and the ON row measured remote-compile wall clock
-                    # (r5 first pass: 30.7 tok/s at utilization 0.86)
+                    # warm EVERY variant program DETERMINISTICALLY
+                    # (warmup compiles one scan per reachable active-lane
+                    # count) — which variants an exact-workload warm run
+                    # visits depends on wall-clock arrival timing, so a
+                    # compile could still land inside the timed run (r5:
+                    # two dyntree ON rows measured 30.7 and 74.7 tok/s
+                    # purely from that); then one workload pass for the
+                    # stream bookkeeping programs
+                    eng.warmup(ks=(8,))
                     eng.serve_stream(prompts, arr, max_new_tokens=128,
                                      eos_token_id=-1,
                                      rounds_per_dispatch=8)
