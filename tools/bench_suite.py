@@ -506,7 +506,10 @@ def main():
                                         cfg_of(mseq=512,
                                                tuned=trained is not None),
                                         batch_size=sb)
-                n_c = 8
+                # SUITE_MT_CONVS right-sizes the store: each entry pins a
+                # full per-lane KV snapshot (~420MB at 13B/512 rows — 8
+                # of them beside 9GB of weights OOMed the 16GB chip)
+                n_c = int(os.environ.get("SUITE_MT_CONVS", "8"))
                 t1 = [rng0.integers(10, 1000, 64).tolist()
                       for _ in range(n_c)]
                 store = ConversationStore(max_items=n_c)
