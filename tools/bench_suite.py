@@ -503,7 +503,8 @@ def main():
                 from flowspec_tpu.runtime.batched import ConversationStore
                 d = trained or rnd_draft
                 eng = BatchedSpecEngine(params, d,
-                                        cfg_of(mseq=512,
+                                        cfg_of(mseq=int(os.environ.get(
+                                            "SUITE_MSEQ", "512")),
                                                tuned=trained is not None),
                                         batch_size=sb)
                 # SUITE_MT_CONVS right-sizes the store: each entry pins a
